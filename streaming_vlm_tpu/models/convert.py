@@ -1,0 +1,177 @@
+"""HF Qwen2.5-VL checkpoint -> streaming-vlm-tpu parameter pytree.
+
+Supports both a live torch `state_dict()` (used by the parity tests) and
+safetensors files on disk. Handles the two HF module layouts:
+  * transformers >= 4.52: `model.language_model.*`, `model.visual.*`
+  * older:                `model.*` (text), `visual.*`
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor
+    return t.detach().to("cpu").float().numpy()
+
+
+def _normalise_keys(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Map any HF layout to canonical 'text.*' / 'visual.*' / 'lm_head' keys."""
+    out = {}
+    for k, v in sd.items():
+        nk = k
+        for prefix in ("model.language_model.", "language_model.model.", "language_model."):
+            if nk.startswith(prefix):
+                nk = "text." + nk[len(prefix):]
+                break
+        else:
+            if nk.startswith("model.visual."):
+                nk = "visual." + nk[len("model.visual."):]
+            elif nk.startswith("visual."):
+                pass
+            elif nk.startswith("model."):
+                nk = "text." + nk[len("model."):]
+        out[nk] = v
+    return out
+
+
+def params_from_state_dict(
+    cfg: ModelConfig, sd: Mapping[str, Any], dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    sd = _normalise_keys(sd)
+    t = cfg.text
+    v = cfg.vision
+    L = t.num_hidden_layers
+
+    def get(name):
+        return _np(sd[name])
+
+    def stack_text(fmt, transpose=False):
+        mats = [get(fmt.format(i)) for i in range(L)]
+        arr = np.stack([m.T if transpose else m for m in mats])
+        return jnp.asarray(arr, dtype)
+
+    text = {
+        "embed": jnp.asarray(get("text.embed_tokens.weight"), dtype),
+        "layers": {
+            "input_ln": stack_text("text.layers.{}.input_layernorm.weight"),
+            "q_w": stack_text("text.layers.{}.self_attn.q_proj.weight", True),
+            "q_b": stack_text("text.layers.{}.self_attn.q_proj.bias"),
+            "k_w": stack_text("text.layers.{}.self_attn.k_proj.weight", True),
+            "k_b": stack_text("text.layers.{}.self_attn.k_proj.bias"),
+            "v_w": stack_text("text.layers.{}.self_attn.v_proj.weight", True),
+            "v_b": stack_text("text.layers.{}.self_attn.v_proj.bias"),
+            "o_w": stack_text("text.layers.{}.self_attn.o_proj.weight", True),
+            "post_ln": stack_text("text.layers.{}.post_attention_layernorm.weight"),
+            "gate_w": stack_text("text.layers.{}.mlp.gate_proj.weight", True),
+            "up_w": stack_text("text.layers.{}.mlp.up_proj.weight", True),
+            "down_w": stack_text("text.layers.{}.mlp.down_proj.weight", True),
+        },
+        "final_ln": jnp.asarray(get("text.norm.weight"), dtype),
+    }
+    if not t.tie_word_embeddings:
+        text["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
+
+    Lv = v.depth
+
+    def stack_vis(fmt, transpose=False):
+        mats = [get(fmt.format(i)) for i in range(Lv)]
+        arr = np.stack([m.T if transpose else m for m in mats])
+        return jnp.asarray(arr, dtype)
+
+    patch_w = get("visual.patch_embed.proj.weight")  # [D, C, tps, ps, ps]
+    visual = {
+        "patch_embed": jnp.asarray(patch_w.reshape(patch_w.shape[0], -1).T, dtype),
+        "blocks": {
+            "norm1": stack_vis("visual.blocks.{}.norm1.weight"),
+            "norm2": stack_vis("visual.blocks.{}.norm2.weight"),
+            "qkv_w": stack_vis("visual.blocks.{}.attn.qkv.weight", True),
+            "qkv_b": stack_vis("visual.blocks.{}.attn.qkv.bias"),
+            "proj_w": stack_vis("visual.blocks.{}.attn.proj.weight", True),
+            "proj_b": stack_vis("visual.blocks.{}.attn.proj.bias"),
+            "gate_w": stack_vis("visual.blocks.{}.mlp.gate_proj.weight", True),
+            "gate_b": stack_vis("visual.blocks.{}.mlp.gate_proj.bias"),
+            "up_w": stack_vis("visual.blocks.{}.mlp.up_proj.weight", True),
+            "up_b": stack_vis("visual.blocks.{}.mlp.up_proj.bias"),
+            "down_w": stack_vis("visual.blocks.{}.mlp.down_proj.weight", True),
+            "down_b": stack_vis("visual.blocks.{}.mlp.down_proj.bias"),
+        },
+        "merger": {
+            "ln_q": jnp.asarray(get("visual.merger.ln_q.weight"), dtype),
+            "fc1_w": jnp.asarray(get("visual.merger.mlp.0.weight").T, dtype),
+            "fc1_b": jnp.asarray(get("visual.merger.mlp.0.bias"), dtype),
+            "fc2_w": jnp.asarray(get("visual.merger.mlp.2.weight").T, dtype),
+            "fc2_b": jnp.asarray(get("visual.merger.mlp.2.bias"), dtype),
+        },
+    }
+    return {"vision": visual, "text": text}
+
+
+def load_safetensors_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
+    """Read all *.safetensors shards in a HF model directory into numpy."""
+    from safetensors import safe_open  # ships with transformers' deps
+
+    sd: Dict[str, np.ndarray] = {}
+    files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no safetensors in {model_dir}")
+    for f in files:
+        with safe_open(f, framework="np") as fh:
+            for k in fh.keys():
+                sd[k] = fh.get_tensor(k)
+    return sd
+
+
+def config_from_hf_dir(model_dir: str) -> ModelConfig:
+    """Build a ModelConfig from a HF config.json."""
+    from ..config import ModelConfig, TextConfig, VisionConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    vis = hf.get("vision_config", {})
+    text_kw = dict(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        num_key_value_heads=hf["num_key_value_heads"],
+        head_dim=hf.get("head_dim", hf["hidden_size"] // hf["num_attention_heads"]),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        rope_theta=hf.get("rope_theta", 1e6),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+    )
+    if hf.get("rope_scaling") and "mrope_section" in hf["rope_scaling"]:
+        text_kw["mrope_section"] = tuple(hf["rope_scaling"]["mrope_section"])
+    vis_kw = dict(
+        depth=vis.get("depth", 32),
+        hidden_size=vis.get("hidden_size", 1280),
+        intermediate_size=vis.get("intermediate_size", 3420),
+        num_heads=vis.get("num_heads", 16),
+        window_size=vis.get("window_size", 112),
+        fullatt_block_indexes=tuple(vis.get("fullatt_block_indexes", (7, 15, 23, 31))),
+        spatial_merge_size=vis.get("spatial_merge_size", 2),
+        patch_size=vis.get("patch_size", 14),
+        temporal_patch_size=vis.get("temporal_patch_size", 2),
+        out_hidden_size=vis.get("out_hidden_size", hf["hidden_size"]),
+        tokens_per_second=vis.get("tokens_per_second", 2),
+    )
+    return ModelConfig(name="qwen2_5_vl_hf", vision=VisionConfig(**vis_kw), text=TextConfig(**text_kw))
+
+
+def load_hf_checkpoint(model_dir: str, dtype=jnp.bfloat16):
+    """Load (cfg, params) from a HF Qwen2.5-VL directory."""
+    cfg = config_from_hf_dir(model_dir)
+    sd = load_safetensors_state_dict(model_dir)
+    return cfg, params_from_state_dict(cfg, sd, dtype)

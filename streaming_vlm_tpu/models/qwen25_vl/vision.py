@@ -1,0 +1,262 @@
+"""Qwen2.5-VL vision tower (windowed ViT) in functional JAX.
+
+Design (TPU-first):
+  * The window permutation, segment structure, and 2-D rotary position ids are
+    pure functions of `grid_thw` — computed once per resolution on the host
+    (numpy, memoised) and shipped to the device as static-shaped index arrays.
+  * Windowed / full attention both become segment-masked dense attention over
+    the (window-reordered) sequence; a Pallas varlen kernel slots in behind
+    the same interface (ops/attention.py).
+  * All `depth` blocks run under one `lax.scan`; the per-block choice of
+    window vs. full segments (fullatt_block_indexes) is a scanned boolean
+    selecting between two masks.
+
+Parity targets (file:line in /root/reference):
+  * encoder layout: src/streaming_vlm/inference/qwen2_5/vision_forward.py:57-101
+  * block/attention math: vision_forward.py:6-54 (flash-attn varlen over
+    cu_seqlens; here: segment mask, same softmax math)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import VisionConfig
+from .language import NEG_INF, rms_norm
+from .rope import apply_rope
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Host-side geometry (memoised per grid)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=256)
+def vision_geometry(
+    grid_thw: Tuple[Tuple[int, int, int], ...],
+    window_size: int,
+    spatial_merge_size: int,
+    patch_size: int,
+) -> Dict[str, np.ndarray]:
+    """Compute, for a tuple of (t, h, w) grids:
+      * pos_ids      [S, 2]  (h, w) rotary position ids per patch token
+      * window_index [S // merge_unit] permutation of merge-units
+      * win_seg      [S] window segment id (after reordering)
+      * full_seg     [S] full-attention segment id (after reordering)
+      * reverse      [S // merge_unit] inverse permutation
+
+    Mirrors Qwen2.5-VL's rot_pos_emb / get_window_index exactly.
+    """
+    merge = spatial_merge_size
+    unit = merge * merge
+    vit_ws = window_size // merge // patch_size  # llm-grid cells per window side
+
+    pos_list = []
+    win_index_parts = []
+    win_seqlens = []  # per-window token counts (in patch tokens)
+    full_seqlens = []
+    base = 0
+    for t, h, w in grid_thw:
+        # --- rotary pos ids (per patch, permuted so each merge-unit is contiguous)
+        gh, gw = h // merge, w // merge
+        hpos = np.arange(h).reshape(gh, merge, 1, 1)
+        hpos = np.broadcast_to(
+            (hpos * 0 + np.arange(h).reshape(gh, merge)[:, :, None, None]),
+            (gh, merge, gw, merge),
+        )
+        # simpler: build directly
+        hh = np.broadcast_to(np.arange(h)[:, None], (h, w))
+        hh = hh.reshape(gh, merge, gw, merge).transpose(0, 2, 1, 3).reshape(-1)
+        ww = np.broadcast_to(np.arange(w)[None, :], (h, w))
+        ww = ww.reshape(gh, merge, gw, merge).transpose(0, 2, 1, 3).reshape(-1)
+        p = np.stack([hh, ww], axis=-1)  # [h*w, 2]
+        pos_list.append(np.tile(p, (t, 1)))
+
+        # --- window index over llm-grid cells
+        idx = np.arange(t * gh * gw).reshape(t, gh, gw)
+        pad_h = vit_ws - gh % vit_ws
+        pad_w = vit_ws - gw % vit_ws
+        nwh = (gh + pad_h) // vit_ws
+        nww = (gw + pad_w) // vit_ws
+        padded = np.full((t, gh + pad_h, gw + pad_w), -100, dtype=np.int64)
+        padded[:, :gh, :gw] = idx
+        padded = padded.reshape(t, nwh, vit_ws, nww, vit_ws)
+        padded = padded.transpose(0, 1, 3, 2, 4).reshape(t, nwh * nww, vit_ws, vit_ws)
+        seqlens = (padded != -100).sum(axis=(2, 3)).reshape(-1)
+        flat = padded.reshape(-1)
+        new = flat[flat != -100]
+        win_index_parts.append(new + base)
+        win_seqlens.extend((seqlens * unit).tolist())
+        full_seqlens.extend([h * w] * t)
+        base += t * gh * gw
+
+    pos_ids = np.concatenate(pos_list, axis=0)
+    window_index = np.concatenate(win_index_parts, axis=0)
+    S = pos_ids.shape[0]
+
+    # segment ids over the REORDERED patch sequence
+    win_seqlens = [s for s in win_seqlens if s > 0]
+    win_seg = np.repeat(np.arange(len(win_seqlens)), win_seqlens)
+    full_seg_orig = np.repeat(np.arange(len(full_seqlens)), full_seqlens)
+
+    # reorder pos_ids and full_seg by window_index (acting on merge-units)
+    unit_perm = window_index
+    patch_perm = (unit_perm[:, None] * unit + np.arange(unit)[None, :]).reshape(-1)
+    pos_ids = pos_ids[patch_perm]
+    full_seg = full_seg_orig[patch_perm]
+
+    reverse = np.argsort(window_index)
+
+    return {
+        "pos_ids": pos_ids.astype(np.int32),
+        "window_index": window_index.astype(np.int32),
+        "patch_perm": patch_perm.astype(np.int32),
+        "win_seg": win_seg.astype(np.int32),
+        "full_seg": full_seg.astype(np.int32),
+        "reverse": reverse.astype(np.int32),
+        "seq_len": S,
+    }
+
+
+def vision_rope_angles(
+    pos_ids: np.ndarray, head_dim: int, theta: float
+) -> np.ndarray:
+    """[S, 2] (h, w) ids -> [S, head_dim // 2] rotary angles (h-half ++ w-half)."""
+    dim = head_dim // 2  # rotary dim per token
+    inv_freq = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float32) / dim))
+    ang = pos_ids[:, :, None].astype(np.float32) * inv_freq[None, None, :]
+    return ang.reshape(pos_ids.shape[0], -1)  # [S, 2 * dim//2] == [S, head_dim//2]
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def init_vision_params(cfg: VisionConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    L = cfg.depth
+    D = cfg.hidden_size
+    I = cfg.intermediate_size
+    merged = D * cfg.spatial_merge_unit
+    out = cfg.out_hidden_size
+    patch_in = cfg.in_channels * cfg.temporal_patch_size * cfg.patch_size**2
+
+    ks = jax.random.split(key, 10)
+
+    def norm(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "patch_embed": norm(ks[0], (patch_in, D)),
+        "blocks": {
+            "norm1": jnp.ones((L, D), dtype),
+            "norm2": jnp.ones((L, D), dtype),
+            "qkv_w": norm(ks[1], (L, D, 3 * D)),
+            "qkv_b": jnp.zeros((L, 3 * D), dtype),
+            "proj_w": norm(ks[2], (L, D, D)),
+            "proj_b": jnp.zeros((L, D), dtype),
+            "gate_w": norm(ks[3], (L, D, I)),
+            "gate_b": jnp.zeros((L, I), dtype),
+            "up_w": norm(ks[4], (L, D, I)),
+            "up_b": jnp.zeros((L, I), dtype),
+            "down_w": norm(ks[5], (L, I, D)),
+            "down_b": jnp.zeros((L, D), dtype),
+        },
+        "merger": {
+            "ln_q": jnp.ones((D,), dtype),
+            "fc1_w": norm(ks[6], (merged, merged)),
+            "fc1_b": jnp.zeros((merged,), dtype),
+            "fc2_w": norm(ks[7], (merged, out)),
+            "fc2_b": jnp.zeros((out,), dtype),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _vision_attention(q, k, v, seg_mask):
+    """q,k,v: [S, H, hd]; seg_mask: [S, S] bool."""
+    S, H, hd = q.shape
+    scale = 1.0 / np.sqrt(hd)
+    logits = jnp.einsum("thd,shd->hts", q, k, preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(seg_mask[None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("hts,shd->thd", probs, v)
+    return out.reshape(S, H * hd)
+
+
+def vision_forward(
+    cfg: VisionConfig,
+    params: Params,
+    pixel_patches: jnp.ndarray,  # [S, in_ch * tps * ps * ps]
+    *,
+    rope_angles: jnp.ndarray,  # [S, head_dim // 2] (already window-reordered)
+    patch_perm: jnp.ndarray,  # [S] int32 permutation of patch tokens
+    reverse_unit_perm: jnp.ndarray,  # [S // unit] int32 inverse merge-unit perm
+    win_seg: jnp.ndarray,  # [S] int32
+    full_seg: jnp.ndarray,  # [S] int32
+) -> jnp.ndarray:
+    """Encode patches -> merged vision embeddings [S // merge_unit, out_hidden].
+
+    `pixel_patches` is in the processor's original order; all index arrays come
+    from `vision_geometry` for the same grid_thw.
+    """
+    H = cfg.num_heads
+    hd = cfg.head_dim
+    unit = cfg.spatial_merge_unit
+
+    hidden = jnp.dot(pixel_patches, params["patch_embed"])  # [S, D]
+    hidden = jnp.take(hidden, patch_perm, axis=0)  # window reorder
+
+    cos = jnp.cos(rope_angles)
+    sin = jnp.sin(rope_angles)
+
+    win_mask = win_seg[:, None] == win_seg[None, :]
+    full_mask = full_seg[:, None] == full_seg[None, :]
+
+    depth = cfg.depth
+    is_full = np.zeros(depth, dtype=bool)
+    for i in cfg.fullatt_block_indexes:
+        is_full[i] = True
+    is_full = jnp.asarray(is_full)
+
+    def block(hidden, layer_in):
+        lp, full_flag = layer_in
+        S = hidden.shape[0]
+        mask = jax.lax.cond(full_flag, lambda: full_mask, lambda: win_mask)
+        x = rms_norm(hidden, lp["norm1"], cfg.rms_norm_eps)
+        qkv = jnp.dot(x, lp["qkv_w"]) + lp["qkv_b"]
+        q, k, v = (
+            qkv.reshape(S, 3, H, hd).transpose(1, 0, 2, 3)[i] for i in range(3)
+        )
+        q = apply_rope(q, cos[:, None, :], sin[:, None, :])
+        k = apply_rope(k, cos[:, None, :], sin[:, None, :])
+        attn = _vision_attention(q, k, v, mask)
+        hidden = hidden + jnp.dot(attn, lp["proj_w"]) + lp["proj_b"]
+        x = rms_norm(hidden, lp["norm2"], cfg.rms_norm_eps)
+        g = jnp.dot(x, lp["gate_w"]) + lp["gate_b"]
+        u = jnp.dot(x, lp["up_w"]) + lp["up_b"]
+        mlp = jnp.dot(jax.nn.silu(g) * u, lp["down_w"]) + lp["down_b"]
+        return hidden + mlp, None
+
+    hidden, _ = jax.lax.scan(block, hidden, (params["blocks"], is_full))
+
+    # merger: RMSNorm then 2-layer MLP over merge-unit groups
+    mp = params["merger"]
+    x = rms_norm(hidden, mp["ln_q"], cfg.rms_norm_eps)
+    x = x.reshape(-1, unit * cfg.hidden_size)
+    x = jnp.dot(x, mp["fc1_w"]) + mp["fc1_b"]
+    x = jax.nn.gelu(x, approximate=False)
+    x = jnp.dot(x, mp["fc2_w"]) + mp["fc2_b"]  # [S // unit, out]
+
+    return jnp.take(x, reverse_unit_perm, axis=0)

@@ -1,0 +1,148 @@
+"""Logit parity vs transformers' Qwen2.5-VL on tiny random models (float32).
+
+This is the acceptance gate for the model port: same weights, same inputs
+=> same logits (atol ~1e-4 in float32 on CPU)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from streaming_vlm_tpu.config import qwen25_vl_tiny
+from streaming_vlm_tpu.models.convert import params_from_state_dict
+from streaming_vlm_tpu.models.qwen25_vl import language, model
+
+CFG = qwen25_vl_tiny()
+TOK = CFG.tokens
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    import torch
+    from transformers import Qwen2_5_VLConfig
+    from transformers.models.qwen2_5_vl.modeling_qwen2_5_vl import (
+        Qwen2_5_VLForConditionalGeneration,
+    )
+
+    t = CFG.text
+    v = CFG.vision
+    hf_cfg = Qwen2_5_VLConfig(
+        vocab_size=t.vocab_size,
+        hidden_size=t.hidden_size,
+        intermediate_size=t.intermediate_size,
+        num_hidden_layers=t.num_hidden_layers,
+        num_attention_heads=t.num_attention_heads,
+        num_key_value_heads=t.num_key_value_heads,
+        rms_norm_eps=t.rms_norm_eps,
+        rope_theta=t.rope_theta,
+        tie_word_embeddings=t.tie_word_embeddings,
+        vision_config=dict(
+            depth=v.depth,
+            hidden_size=v.hidden_size,
+            intermediate_size=v.intermediate_size,
+            num_heads=v.num_heads,
+            in_channels=v.in_channels,
+            patch_size=v.patch_size,
+            temporal_patch_size=v.temporal_patch_size,
+            spatial_merge_size=v.spatial_merge_size,
+            window_size=v.window_size,
+            fullatt_block_indexes=list(v.fullatt_block_indexes),
+            out_hidden_size=v.out_hidden_size,
+            tokens_per_second=v.tokens_per_second,
+            hidden_act="silu",
+        ),
+        rope_scaling=dict(type="mrope", mrope_section=list(t.mrope_section)),
+        attn_implementation="sdpa",
+    )
+    hf_cfg.image_token_id = TOK.image_pad
+    hf_cfg.video_token_id = TOK.video_pad
+    hf_cfg.vision_start_token_id = TOK.vision_start
+
+    torch.manual_seed(0)
+    m = Qwen2_5_VLForConditionalGeneration(hf_cfg)
+    m = m.eval().float()
+    return m
+
+
+@pytest.fixture(scope="module")
+def jax_params(hf_model):
+    return params_from_state_dict(CFG, hf_model.state_dict(), dtype=jnp.float32)
+
+
+def test_text_only_parity(hf_model, jax_params):
+    import torch
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, 900, size=33)
+
+    with torch.no_grad():
+        out = hf_model(
+            input_ids=torch.tensor(ids)[None],
+            attention_mask=torch.ones(1, len(ids), dtype=torch.long),
+        )
+    hf_logits = out.logits[0].numpy()
+
+    ours = np.asarray(model.forward_full(CFG, jax_params, ids))
+    np.testing.assert_allclose(ours, hf_logits, atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.parametrize("grid", [(2, 4, 6), (1, 8, 8)])
+def test_vision_tower_parity(hf_model, jax_params, grid):
+    import torch
+
+    v = CFG.vision
+    t_g, h, w = grid
+    S = t_g * h * w
+    patch_dim = v.in_channels * v.temporal_patch_size * v.patch_size**2
+    rng = np.random.default_rng(1)
+    pixels = rng.normal(size=(S, patch_dim)).astype(np.float32)
+
+    with torch.no_grad():
+        hf_out = hf_model.model.visual(
+            torch.tensor(pixels), grid_thw=torch.tensor([list(grid)])
+        ).numpy()
+
+    ours = np.asarray(
+        model.encode_video(CFG, jax_params, jnp.asarray(pixels), (grid,))
+    )
+    np.testing.assert_allclose(ours, hf_out, atol=2e-4, rtol=2e-3)
+
+
+def test_multimodal_parity(hf_model, jax_params):
+    import torch
+
+    v = CFG.vision
+    grid = (2, 4, 6)
+    t_g, h, w = grid
+    S = t_g * h * w
+    n_llm_tokens = S // v.spatial_merge_unit
+    patch_dim = v.in_channels * v.temporal_patch_size * v.patch_size**2
+
+    rng = np.random.default_rng(2)
+    pixels = rng.normal(size=(S, patch_dim)).astype(np.float32)
+    pre = rng.integers(5, 900, size=7).tolist()
+    post = rng.integers(5, 900, size=5).tolist()
+    ids = np.array(
+        pre + [TOK.vision_start] + [TOK.video_pad] * n_llm_tokens + [TOK.vision_end] + post
+    )
+
+    with torch.no_grad():
+        out = hf_model(
+            input_ids=torch.tensor(ids)[None],
+            attention_mask=torch.ones(1, len(ids), dtype=torch.long),
+            pixel_values_videos=torch.tensor(pixels),
+            video_grid_thw=torch.tensor([list(grid)]),
+            second_per_grid_ts=torch.tensor([1.0]),
+        )
+    hf_logits = out.logits[0].numpy()
+
+    ours = np.asarray(
+        model.forward_full(
+            CFG,
+            jax_params,
+            ids,
+            pixel_patches=jnp.asarray(pixels),
+            video_grid_thw=np.array([list(grid)]),
+            second_per_grid_ts=np.array([1.0]),
+        )
+    )
+    np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=2e-3)
