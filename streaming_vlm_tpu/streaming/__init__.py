@@ -1,0 +1,1 @@
+from . import engine, protocol, segments  # noqa: F401

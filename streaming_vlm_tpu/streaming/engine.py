@@ -1,0 +1,336 @@
+"""Streaming engine: chunk prefill + fused decode over the KV arena.
+
+One jitted `chunk_step` per (bucket, max_new) does everything the reference's
+per-chunk generate does (stack 3.2 in SURVEY.md) in a single device dispatch:
+
+  embed -> vision-embed scatter -> chunk prefill writing raw K/V into the
+  arena -> lax.scan decode loop (sample, embed, forward, write KV) with
+  repetition penalty / temperature / eos early-stop.
+
+The reference's per-token python loop re-applies RoPE to the whole cache every
+token in shrink mode (language_forward.py:190-197). Here positions are fixed
+per chunk (contiguous re-index happens at eviction), K lives un-rotated in the
+arena, and rotation is fused into attention — so a decode step costs one
+arena sweep, same as the attention itself.
+
+Eviction (arena compaction) is a single gather planned by the segment table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, SamplingConfig, StreamConfig
+from ..models.qwen25_vl import language, model
+from ..ops.sampling import sample_token
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# jitted device steps
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def compact_arena(
+    k_arena: jnp.ndarray,  # [L, C, Hkv, hd]
+    v_arena: jnp.ndarray,
+    src_idx: jnp.ndarray,  # [C] int32 (padded with anything beyond new_len)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather arena slots: new[:, i] = old[:, src_idx[i]]. One sweep per chunk."""
+    return jnp.take(k_arena, src_idx, axis=1), jnp.take(v_arena, src_idx, axis=1)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChunkStatics:
+    """Static (compile-time) arguments of chunk_step."""
+
+    cfg: ModelConfig
+    t_pad: int  # padded chunk length
+    max_new: int
+    temperature: float
+    repetition_penalty: float
+    do_sample: bool
+
+    def __hash__(self):
+        return hash(
+            (
+                id(self.cfg),
+                self.t_pad,
+                self.max_new,
+                self.temperature,
+                self.repetition_penalty,
+                self.do_sample,
+            )
+        )
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 8))
+def chunk_step(
+    statics: ChunkStatics,
+    params: Params,
+    k_arena: jnp.ndarray,
+    v_arena: jnp.ndarray,
+    slot_positions: jnp.ndarray,  # [3, C] float32 (covers chunk + decode slots)
+    tokens: jnp.ndarray,  # [t_pad] int32 (padded)
+    vis_embeds: Optional[jnp.ndarray],  # [N_vis, D] or None
+    vis_slots: Optional[jnp.ndarray],  # [N_vis] int32 rows within the chunk
+    presence: jnp.ndarray,  # [V] bool
+    insert_at: jnp.ndarray,  # scalar int32: first arena slot for chunk tokens
+    n_real: jnp.ndarray,  # scalar int32: real (unpadded) chunk length
+    eos_id: jnp.ndarray,  # scalar int32
+    rng: jax.Array,
+):
+    """Returns (k_arena, v_arena, gen_tokens [max_new], n_gen, presence)."""
+    cfg = statics.cfg
+    tcfg = cfg.text
+
+    embeds = language.embed_tokens(tcfg, params["text"], tokens)
+    if vis_embeds is not None:
+        embeds = embeds.at[vis_slots].set(vis_embeds.astype(embeds.dtype))
+
+    C = k_arena.shape[1]
+    q_pos = jax.lax.dynamic_slice(
+        slot_positions, (0, insert_at), (3, statics.t_pad)
+    )
+
+    hidden, (k_arena, v_arena) = language.language_forward(
+        tcfg,
+        params["text"],
+        embeds,
+        q_pos,
+        kv_arena=(k_arena, v_arena),
+        slot_positions=slot_positions,
+        insert_at=insert_at,
+    )
+    last_hidden = jax.lax.dynamic_slice(hidden, (n_real - 1, 0), (1, hidden.shape[1]))
+    logits0 = language.lm_logits(tcfg, params["text"], last_hidden)[0]
+
+    decode_base = insert_at + n_real  # first arena slot for generated tokens
+
+    def decode_body(carry, step):
+        k_a, v_a, logits, presence, done, rng = carry
+        rng, key = jax.random.split(rng)
+        tok = sample_token(
+            key,
+            logits,
+            presence,
+            temperature=statics.temperature,
+            repetition_penalty=statics.repetition_penalty,
+            do_sample=statics.do_sample,
+        )
+        tok = jnp.where(done, eos_id, tok)
+        presence = presence.at[tok].set(True)
+        emitted = tok
+        now_done = done | (tok == eos_id)
+
+        slot = decode_base + step
+        emb = language.embed_tokens(tcfg, params["text"], tok[None])
+        pos = jax.lax.dynamic_slice(slot_positions, (0, slot), (3, 1))
+        slot_mask = jnp.arange(C)[None, :] <= slot
+        hidden, (k_a, v_a) = language.language_forward(
+            tcfg,
+            params["text"],
+            emb,
+            pos,
+            kv_arena=(k_a, v_a),
+            slot_positions=slot_positions,
+            insert_at=slot,
+            attn_mask=slot_mask,
+        )
+        logits = language.lm_logits(tcfg, params["text"], hidden)[0]
+        return (k_a, v_a, logits, presence, now_done, rng), (emitted, done)
+
+    (k_arena, v_arena, _, presence, _, _), (gen, was_done) = jax.lax.scan(
+        decode_body,
+        (k_arena, v_arena, logits0, presence, jnp.asarray(False), rng),
+        jnp.arange(statics.max_new),
+    )
+    n_gen = jnp.sum(~was_done)
+    return k_arena, v_arena, gen, n_gen, presence
+
+
+# ---------------------------------------------------------------------------
+# Host-side engine
+# ---------------------------------------------------------------------------
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"chunk of {n} tokens exceeds the largest bucket {buckets[-1]}")
+
+
+class StreamingEngine:
+    """Owns the device arena + host segment table; one `process_chunk` per
+    second of video. Mirrors the protocol of the reference's
+    streaming_inference loop (inference.py:181-522) with static shapes."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: Params,
+        stream: StreamConfig,
+        sampling: SamplingConfig,
+        dtype=jnp.bfloat16,
+    ):
+        from .segments import SegmentTable
+
+        self.cfg = cfg
+        self.params = params
+        self.stream = stream
+        self.sampling = sampling
+        self.dtype = dtype
+        self.table = SegmentTable(all_text=stream.all_text)
+        C = stream.kv_capacity
+        self.k_arena, self.v_arena = language.init_kv_arena(cfg.text, C, dtype)
+        self.cached = 0  # arena slots holding valid KV (table prefix)
+        # trailing table tokens whose KV is NOT yet in the arena (e.g. the
+        # force-appended <|im_end|>); they prefill with the next chunk, like
+        # HF's cache-dependent input preparation re-forwards uncached ids
+        self.uncached_tail = 0
+        self.chunk_index = 0
+        self.rng = jax.random.PRNGKey(sampling.seed)
+
+    # -------------------------------------------------------------- plumbing
+    def _positions(self) -> np.ndarray:
+        return self.table.positions(
+            spatial_merge_size=self.cfg.vision.spatial_merge_size,
+            tokens_per_second=self.cfg.vision.tokens_per_second,
+        )
+
+    def evict(self) -> None:
+        """Apply this round's eviction policy and compact the arena."""
+        plan = self.table.evict(
+            self.chunk_index,
+            text_round=self.stream.text_round,
+            visual_round=self.stream.visual_round,
+            text_sink=self.stream.text_sink,
+            text_sliding_window=self.stream.text_sliding_window,
+        )
+        new_len = int(plan.src.shape[0])
+        if plan.changed:
+            C = self.stream.kv_capacity
+            src = np.zeros(C, np.int32)
+            src[:new_len] = plan.src
+            self.k_arena, self.v_arena = compact_arena(
+                self.k_arena, self.v_arena, jnp.asarray(src)
+            )
+        # the uncached tail is always the newest tokens — still at the end
+        self.cached = new_len - self.uncached_tail
+
+    def process_chunk(
+        self,
+        chunk_segs: List,  # list of Seg to append for this chunk (incl. asst_open)
+        pixel_patches: Optional[np.ndarray],
+        grid_thw: Optional[Tuple[int, int, int]],
+        *,
+        max_new: Optional[int] = None,
+    ) -> Tuple[np.ndarray, int]:
+        """Evict, ingest one chunk (text+video segments ending with the
+        assistant header), generate up to max_new tokens. Returns
+        (generated token ids INCLUDING the final eos, n_gen)."""
+        self.evict()
+
+        max_new = max_new or self.stream.max_tokens_per_chunk
+        st = self.stream
+        tkn = self.cfg.tokens
+
+        # re-forward any uncached tail tokens along with the chunk
+        tail_ids = self.table.token_ids()[self.cached :] if self.uncached_tail else np.zeros(0, np.int32)
+        new_ids = (
+            np.concatenate([s.ids for s in chunk_segs if len(s)]).astype(np.int32)
+            if chunk_segs
+            else np.zeros(0, np.int32)
+        )
+        chunk_ids = np.concatenate([tail_ids, new_ids]).astype(np.int32)
+        n_real = int(chunk_ids.shape[0])
+        t_pad = _bucket(n_real, st.prefill_buckets)
+        for s in chunk_segs:
+            self.table.append(s)
+        self.uncached_tail = 0
+
+        # positions for the whole (post-chunk) table plus the decode tail
+        pos = self._positions()
+        total = pos.shape[1]
+        assert total == self.cached + n_real
+        next_p = float(pos.max()) + 1.0 if total else 0.0
+        decode_pos = np.broadcast_to(
+            np.arange(max_new, dtype=np.float32) + next_p, (3, max_new)
+        )
+        C = st.kv_capacity
+        assert total + max_new <= C, "KV arena capacity exceeded"
+        slot_pos = np.zeros((3, C), np.float32)
+        slot_pos[:, :total] = pos
+        slot_pos[:, total : total + max_new] = decode_pos
+
+        # vision embeds for this chunk
+        vis_embeds = None
+        vis_slots = None
+        if pixel_patches is not None:
+            vis_embeds = model.encode_video(
+                self.cfg, self.params, jnp.asarray(pixel_patches, self.dtype), (grid_thw,)
+            )
+            (slots,) = np.nonzero(chunk_ids == tkn.video_pad)
+            vis_slots = jnp.asarray(slots, jnp.int32)
+
+        # repetition-penalty presence = all surviving ids + chunk ids
+        presence = np.zeros(self.cfg.text.vocab_size, bool)
+        presence[self.table.token_ids()] = True
+        tokens = np.full(t_pad, tkn.pad, np.int32)
+        tokens[:n_real] = chunk_ids
+
+        statics = ChunkStatics(
+            cfg=self.cfg,
+            t_pad=t_pad,
+            max_new=max_new,
+            temperature=self.sampling.temperature,
+            repetition_penalty=self.sampling.repetition_penalty,
+            do_sample=self.sampling.do_sample,
+        )
+        self.rng, key = jax.random.split(self.rng)
+        self.k_arena, self.v_arena, gen, n_gen, _ = chunk_step(
+            statics,
+            self.params,
+            self.k_arena,
+            self.v_arena,
+            jnp.asarray(slot_pos),
+            jnp.asarray(tokens),
+            vis_embeds,
+            vis_slots,
+            jnp.asarray(presence),
+            jnp.asarray(self.cached, jnp.int32),
+            jnp.asarray(n_real, jnp.int32),
+            jnp.asarray(tkn.im_end, jnp.int32),
+            key,
+        )
+        gen = np.asarray(gen)
+        n_gen = int(n_gen)
+        self.cached += n_real + n_gen
+        gen_real = gen[:n_gen]
+        # force-close like the reference (inference.py:456-459); the forced
+        # token has no KV yet -> re-forwarded with the next chunk
+        if n_gen == 0 or gen_real[-1] != tkn.im_end:
+            gen_real = np.concatenate([gen_real, [tkn.im_end]]).astype(np.int32)
+            self.uncached_tail = 1
+        self.chunk_index += 1
+        return gen_real, len(gen_real)
+
+    def commit_assistant(self, gen_real: np.ndarray, end_bias: int, rnd: int) -> None:
+        """Record the generated assistant turn in the segment table, split into
+        body / tail at `end_bias` tokens (reference strips " ...<|im_end|>"
+        when relocating — inference.py:110-121)."""
+        from .segments import ASST_BODY, ASST_TAIL, Seg
+
+        gen_real = np.asarray(gen_real, np.int32)
+        cut = max(len(gen_real) - end_bias, 0)
+        self.table.append(Seg(ASST_BODY, gen_real[:cut], round=rnd))
+        self.table.append(Seg(ASST_TAIL, gen_real[cut:], round=rnd))

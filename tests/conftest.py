@@ -1,15 +1,15 @@
 import os
 import sys
 
-# Tests run on a virtual 8-device CPU mesh; the real TPU is exercised by bench.py.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# Tests run on a virtual 8-device CPU mesh; the real TPU is exercised by
+# bench.py. The axon sitecustomize forces jax_platforms='axon,cpu' after
+# import, so env vars are not enough — override the config directly.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Parity tests compare f32 logits against torch; JAX's default matmul
 # precision on some backends accumulates in bf16, which swamps the tolerance.
