@@ -1,0 +1,133 @@
+"""Streaming ingest benchmark (driver entry point).
+
+Measures steady-state streaming throughput at the reference's default
+operating point (FPS=2, 1 s chunks, 16 s vision window, text sink+window
+512/512, <=20 tokens/chunk — reference inference.py:34-45) on a
+Qwen2.5-VL-3B-shaped model with random bf16 weights.
+
+Metric: ingest_fps = video frames ingested per wall-clock second in steady
+state (chunks past the first eviction round), i.e. fps * chunk_duration /
+median_chunk_seconds. Baseline: the reference reports up to 8 FPS real-time
+ingest on 1x H100 (readme.md:11).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from streaming_vlm_tpu.config import (
+        SamplingConfig,
+        StreamConfig,
+        qwen25_vl_3b,
+    )
+    from streaming_vlm_tpu.models.qwen25_vl import model
+    from streaming_vlm_tpu.streaming.engine import StreamingEngine
+    from streaming_vlm_tpu.streaming.protocol import FakeTokenizer, PromptBuilder
+
+    cfg = qwen25_vl_3b()
+    tok = cfg.tokens
+
+    # default operating point
+    fps = 2.0
+    chunk_duration = 1.0
+    window_size = 16
+    # 448 x 896 per frame -> 32 x 64 patches -> (1, 32, 64) grid per 1 s chunk
+    grid = (1, 32, 64)
+    n_patches = int(np.prod(grid))
+    n_vid_tokens = n_patches // cfg.vision.spatial_merge_unit  # 512
+    patch_dim = (
+        cfg.vision.in_channels
+        * cfg.vision.temporal_patch_size
+        * cfg.vision.patch_size**2
+    )
+
+    stream = StreamConfig(
+        fps=fps,
+        chunk_duration=chunk_duration,
+        window_size=window_size,
+        text_round=16,
+        text_sink=512,
+        text_sliding_window=512,
+        max_tokens_per_chunk=20,
+        kv_capacity=12288,
+        prefill_buckets=(640, 1024),
+    )
+    sampling = SamplingConfig(temperature=0.9, repetition_penalty=1.05, do_sample=True)
+
+    params = model.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = jax.tree.map(jax.block_until_ready, params)
+
+    engine = StreamingEngine(cfg, params, stream, sampling, dtype=jnp.bfloat16)
+    builder = PromptBuilder(tok, FakeTokenizer(tok))
+    _, end_bias = 3, 2  # reference-measured biases for the real tokenizer
+    rng = np.random.default_rng(0)
+
+    frame_h = grid[1] * cfg.vision.patch_size  # 448
+    frame_w = grid[2] * cfg.vision.patch_size  # 896
+    n_frames = grid[0] * cfg.vision.temporal_patch_size
+
+    def synth_frames(i):
+        return rng.integers(
+            0, 255, size=(n_frames, frame_h, frame_w, 3), dtype=np.uint8
+        )
+
+    n_chunks = 24
+    times = []
+    next_frames = engine.upload_frames(synth_frames(0))
+    for i in range(n_chunks):
+        frames = next_frames
+        t0c, t1c = i * chunk_duration, (i + 1) * chunk_duration
+        segs = []
+        if i == 0:
+            segs.append(builder.system_segment())
+            segs.extend(builder.previous_text_segments("live stream"))
+            segs.extend(
+                builder.user_turn_segments(
+                    0, t0c, t1c, n_vid_tokens, grid, 2.0 / fps,
+                    query="Commentate on this match",
+                )
+            )
+        else:
+            segs.extend(
+                builder.user_turn_segments(i, t0c, t1c, n_vid_tokens, grid, 2.0 / fps)
+            )
+        segs.extend(builder.assistant_open_segments(i))
+
+        t_start = time.perf_counter()
+        # prefetch chunk i+1's frames so the copy overlaps chunk i's compute
+        if i + 1 < n_chunks:
+            next_frames = engine.upload_frames(synth_frames(i + 1))
+        gen, _ = engine.process_chunk(segs, frames_u8=frames, grid_thw=grid)
+        dt = time.perf_counter() - t_start
+        engine.commit_assistant(gen, end_bias, i)
+        times.append(dt)
+        print(
+            f"[chunk {i:02d}] {dt*1000:7.1f} ms  gen={len(gen):2d} tok  "
+            f"kv={engine.cached}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    steady = times[window_size + 2 :]
+    med = float(np.median(steady))
+    ingest_fps = fps * chunk_duration / med
+    result = {
+        "metric": "streaming_ingest_fps_3b_v5e1",
+        "value": round(ingest_fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(ingest_fps / 8.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,40 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> Params:
     }
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _encode_video_jit(cfg: ModelConfig, grid_thw: Tuple[Tuple[int, int, int], ...]):
+    """One compiled vision-tower executable per (config, grid) — geometry
+    index arrays are baked in as constants so a chunk encode is a single
+    device dispatch."""
+    v = cfg.vision
+    geo = vision.vision_geometry(
+        grid_thw, v.window_size, v.spatial_merge_size, v.patch_size
+    )
+    ang = jnp.asarray(vision.vision_rope_angles(geo["pos_ids"], v.head_dim, v.rope_theta))
+    patch_perm = jnp.asarray(geo["patch_perm"])
+    reverse = jnp.asarray(geo["reverse"])
+    win_seg = jnp.asarray(geo["win_seg"])
+    full_seg = jnp.asarray(geo["full_seg"])
+
+    @jax.jit
+    def run(vision_params, pixel_patches):
+        return vision.vision_forward(
+            v,
+            vision_params,
+            pixel_patches,
+            rope_angles=ang,
+            patch_perm=patch_perm,
+            reverse_unit_perm=reverse,
+            win_seg=win_seg,
+            full_seg=full_seg,
+        )
+
+    return run
+
+
 def encode_video(
     cfg: ModelConfig,
     params: Params,
@@ -36,23 +70,36 @@ def encode_video(
     grid_thw: Tuple[Tuple[int, int, int], ...],
 ) -> jnp.ndarray:
     """Run the vision tower for the given grids. Returns [S // merge_unit, D_text]."""
-    v = cfg.vision
-    geo = vision.vision_geometry(
-        tuple(tuple(int(x) for x in g) for g in grid_thw),
-        v.window_size,
-        v.spatial_merge_size,
-        v.patch_size,
-    )
-    ang = vision.vision_rope_angles(geo["pos_ids"], v.head_dim, v.rope_theta)
-    return vision.vision_forward(
-        v,
-        params["vision"],
-        pixel_patches,
-        rope_angles=jnp.asarray(ang),
-        patch_perm=jnp.asarray(geo["patch_perm"]),
-        reverse_unit_perm=jnp.asarray(geo["reverse"]),
-        win_seg=jnp.asarray(geo["win_seg"]),
-        full_seg=jnp.asarray(geo["full_seg"]),
+    key = tuple(tuple(int(x) for x in g) for g in grid_thw)
+    return _encode_video_jit(cfg, key)(params["vision"], pixel_patches)
+
+
+@functools.lru_cache(maxsize=64)
+def _encode_frames_jit(cfg: ModelConfig, grid: Tuple[int, int, int], dtype_name: str):
+    """Compiled uint8-frames -> vision-embeddings pipeline (on-device
+    normalise + patchify + tower). Minimises host->device bytes: ships raw
+    uint8 RGB instead of f32 patches (4x smaller over PCIe/tunnel)."""
+    run_tower = _encode_video_jit(cfg, (grid,))
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def run(vision_params, frames_u8):
+        patches = vision.patchify_on_device(cfg.vision, frames_u8, out_dtype=dtype)
+        return run_tower(vision_params, patches)
+
+    return run
+
+
+def encode_video_frames(
+    cfg: ModelConfig,
+    params: Params,
+    frames_u8,  # [T, H, W, 3] uint8 (np or jnp; T divisible by tps)
+    grid_thw: Tuple[int, int, int],
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    name = "bfloat16" if dtype == jnp.bfloat16 else "float32"
+    return _encode_frames_jit(cfg, tuple(int(x) for x in grid_thw), name)(
+        params["vision"], frames_u8
     )
 
 

@@ -135,6 +135,30 @@ def vision_rope_angles(
     return ang.reshape(pos_ids.shape[0], -1)  # [S, 2 * dim//2] == [S, head_dim//2]
 
 
+# CLIP normalisation constants (HF Qwen2VLImageProcessor defaults)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def patchify_on_device(
+    cfg: VisionConfig,
+    frames_u8: jnp.ndarray,  # [T, H, W, 3] uint8 (T divisible by temporal_patch_size)
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Fused on-device rescale + CLIP normalise + Qwen2VL patch flattening.
+    uint8 frames are 4x cheaper to ship host->device than f32 patches; XLA
+    fuses the elementwise work into the patch-embed matmul's producer."""
+    T, H, W, C = frames_u8.shape
+    tps, ps, m = cfg.temporal_patch_size, cfg.patch_size, cfg.spatial_merge_size
+    x = frames_u8.astype(jnp.float32) / 255.0
+    x = (x - CLIP_MEAN) / CLIP_STD
+    x = x.transpose(0, 3, 1, 2)  # [T, C, H, W]
+    gt, gh, gw = T // tps, H // ps, W // ps
+    x = x.reshape(gt, tps, C, gh // m, m, ps, gw // m, m, ps)
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    return x.reshape(gt * gh * gw, C * tps * ps * ps).astype(out_dtype)
+
+
 # ---------------------------------------------------------------------------
 # Parameters
 # ---------------------------------------------------------------------------

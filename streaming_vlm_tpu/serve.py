@@ -1,0 +1,299 @@
+"""Streaming serve loop: the reference's streaming_inference
+(/root/reference/src/streaming_vlm/inference/inference.py:181-522) rebuilt on
+the TPU engine.
+
+Per chunk: evict -> read+patchify video chunk (native C++ pipeline, prefetched
+asynchronously so the copy/decode overlap device compute) -> prompt assembly
+(Time=a-bs protocol) -> fused prefill+decode on device -> decode text ->
+WebVTT / NDJSON output, with the reference's PKV/VIDEO/INPUT/GEN/POST section
+timing (inference.py:312-329,495-507).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .config import ModelConfig, SamplingConfig, StreamConfig, VideoConfig
+from .streaming.engine import StreamingEngine
+from .streaming.protocol import PromptBuilder
+
+DEFAULT_QUERY = "Commentate on this match"
+
+
+@dataclasses.dataclass
+class ChunkResult:
+    response: str
+    start_time: float
+    end_time: float
+    gen_time_sec: float
+    decoded_tokens: int
+    section_time: Dict[str, float]
+
+
+class StreamingSession:
+    """One live stream: engine + protocol + output sinks."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: Any,
+        tokenizer,  # HF tokenizer or compatible (encode via __call__, decode())
+        *,
+        stream: Optional[StreamConfig] = None,
+        sampling: Optional[SamplingConfig] = None,
+        previous_text: str = "",
+        query: str = DEFAULT_QUERY,
+        dtype=None,
+    ):
+        import jax.numpy as jnp
+
+        self.cfg = cfg
+        self.stream = stream or StreamConfig()
+        self.sampling = sampling or SamplingConfig()
+        self.tokenizer = tokenizer
+        self.engine = StreamingEngine(
+            cfg, params, self.stream, self.sampling, dtype=dtype or jnp.bfloat16
+        )
+        if hasattr(tokenizer, "convert_tokens_to_ids"):  # HF tokenizer
+            from .streaming.protocol import hf_encode_fn
+
+            encode = hf_encode_fn(tokenizer)
+        else:  # any callable text -> List[int] (e.g. FakeTokenizer)
+            encode = tokenizer
+        self.builder = PromptBuilder(cfg.tokens, encode)
+        self.start_bias, self.end_bias = self.builder.measure_biases()
+        self.previous_text = previous_text
+        self.query = query
+
+    def _decode_text(self, ids: np.ndarray) -> str:
+        if hasattr(self.tokenizer, "decode"):
+            return self.tokenizer.decode(
+                [int(t) for t in ids], skip_special_tokens=True
+            )
+        return " ".join(str(int(t)) for t in ids)
+
+    def run_chunk(
+        self,
+        i: int,
+        start_time: float,
+        *,
+        frames_u8=None,
+        grid_thw=None,
+        pixel_patches=None,
+        forced_response_ids: Optional[np.ndarray] = None,
+    ) -> Tuple[str, np.ndarray]:
+        """Ingest chunk i and generate. Returns (response text, generated ids)."""
+        st = self.stream
+        spgt = 2.0 / st.fps  # reference pos_emb.py:104
+        end_time = start_time + st.chunk_duration
+        n_vid_tokens = (
+            int(grid_thw[0])
+            * (int(grid_thw[1]) // self.cfg.vision.spatial_merge_size)
+            * (int(grid_thw[2]) // self.cfg.vision.spatial_merge_size)
+        )
+
+        segs = []
+        if i == 0:
+            segs.append(self.builder.system_segment())
+            segs.extend(self.builder.previous_text_segments(self.previous_text))
+            segs.extend(
+                self.builder.user_turn_segments(
+                    0, start_time, end_time, n_vid_tokens, tuple(grid_thw), spgt,
+                    query=self.query,
+                )
+            )
+        else:
+            segs.extend(
+                self.builder.user_turn_segments(
+                    i, start_time, end_time, n_vid_tokens, tuple(grid_thw), spgt
+                )
+            )
+        segs.extend(self.builder.assistant_open_segments(i))
+
+        gen, _ = self.engine.process_chunk(
+            segs,
+            pixel_patches=pixel_patches,
+            grid_thw=tuple(int(x) for x in grid_thw),
+            frames_u8=frames_u8,
+        )
+        if forced_response_ids is not None:
+            # ground-truth teacher forcing (reference inference.py:483-487):
+            # replace the generated turn with the GT ids; their KV re-prefills
+            # with the next chunk
+            self.engine.rollback_generation(len(gen))
+            gen = np.asarray(forced_response_ids, np.int32)
+            self.engine.append_uncached(gen)
+        self.engine.commit_assistant(gen, self.end_bias, i)
+        response = self._decode_text(gen)
+        return response, gen
+
+
+def streaming_inference(
+    *,
+    cfg: ModelConfig,
+    params: Any,
+    tokenizer,
+    video_path: str,
+    output_dir: Optional[str] = None,
+    stream: Optional[StreamConfig] = None,
+    sampling: Optional[SamplingConfig] = None,
+    video: Optional[VideoConfig] = None,
+    previous_text: str = "",
+    query: str = DEFAULT_QUERY,
+    duration: Optional[float] = None,
+    skip_first_chunk: int = 0,
+    quiet: bool = False,
+    emit_json: bool = False,
+    time_test: bool = False,
+    gt_lookup: Optional[Dict[str, str]] = None,
+    dtype=None,
+):
+    """Chunked streaming inference over a video file. Returns the list of
+    per-chunk responses, plus per-chunk section timings when time_test=True
+    (returning BOTH, fixing the reference's efficiency-harness drift at
+    eval/efficiency/efficiency_test.py:74 vs inference.py:520)."""
+    from .utils.vtt import open_vtt, sec2ts
+    from .video.ingest import ChunkedVideoSource
+
+    stream = stream or StreamConfig()
+    video = video or VideoConfig(fps=stream.fps)
+
+    session = StreamingSession(
+        cfg,
+        params,
+        tokenizer,
+        stream=stream,
+        sampling=sampling,
+        previous_text=previous_text,
+        query=query,
+        dtype=dtype,
+    )
+
+    src = ChunkedVideoSource(
+        video_path,
+        fps=stream.fps,
+        max_pixels=video.max_pixels_for_window(stream.window_size),
+        min_pixels=video.video_min_pixels,
+        patch_size=cfg.vision.patch_size,
+        temporal_patch_size=cfg.vision.temporal_patch_size,
+        merge_size=cfg.vision.spatial_merge_size,
+    )
+
+    total = duration if duration is not None else src.duration
+    num_chunks = int(
+        (total + stream.chunk_duration - 1) // stream.chunk_duration
+    )
+
+    if output_dir is not None:
+        if os.path.exists(output_dir):
+            os.remove(output_dir)
+        with open_vtt(output_dir):
+            pass
+
+    responses: List[Dict] = []
+    time_results: List[Dict[str, float]] = []
+
+    # prefetch chunk 0
+    def read_chunk(i: int):
+        s = (i + skip_first_chunk) * stream.chunk_duration
+        patches_grid = src.read_chunk(s, s + stream.chunk_duration)
+        return patches_grid
+
+    pending = read_chunk(0) if num_chunks else None
+
+    for i in range(num_chunks):
+        loop_start = time.perf_counter()
+        section = {k: 0.0 for k in ["PKV", "CHECK", "VIDEO", "INPUT", "GEN", "POST"]}
+        start_time = (i + skip_first_chunk) * stream.chunk_duration
+
+        _t = time.perf_counter()
+        try:
+            patches, grid, _pts = pending
+        except Exception as e:
+            print(f"Error reading chunk {i}: {e}", file=sys.stderr)
+            break
+        section["VIDEO"] += time.perf_counter() - _t
+
+        _t = time.perf_counter()
+        forced = None
+        if gt_lookup is not None:
+            key = f"Time={start_time:.1f}-{start_time + stream.chunk_duration:.1f}s"
+            if key in gt_lookup:
+                forced_text = gt_lookup[key] + "<|im_end|>"
+                forced = np.asarray(
+                    session.builder.encode(forced_text), np.int32
+                )
+        response, gen = session.run_chunk(
+            i, start_time, pixel_patches=patches, grid_thw=grid, forced_response_ids=forced
+        )
+        section["GEN"] += time.perf_counter() - _t
+
+        _t = time.perf_counter()
+        # prefetch next chunk (host-side decode overlaps nothing here yet;
+        # true pipelining comes from the async uint8 upload path)
+        if i + 1 < num_chunks:
+            try:
+                pending = read_chunk(i + 1)
+            except Exception as e:
+                print(f"Error reading chunk {i+1}: {e}", file=sys.stderr)
+                num_chunks = i + 1
+        clean = response[:-4] if response.endswith(" ...") else response
+        responses.append(
+            {
+                "response": clean,
+                "start_time": start_time,
+                "end_time": start_time + stream.chunk_duration,
+            }
+        )
+        section["POST"] += time.perf_counter() - _t
+
+        loop_total = time.perf_counter() - loop_start
+        if not quiet:
+            hms0 = time.strftime("%H:%M:%S", time.gmtime(int(start_time)))
+            hms1 = time.strftime(
+                "%H:%M:%S", time.gmtime(int(start_time + stream.chunk_duration))
+            )
+            print(
+                f"Time={hms0}-{hms1}: {response}  | kv={session.engine.cached}",
+                flush=True,
+            )
+            print(
+                f"[Loop {i}] total={loop_total:.3f}s | "
+                + " | ".join(f"{k}={v:.3f}s" for k, v in section.items()),
+                flush=True,
+            )
+        if emit_json:
+            sys.stdout.write(
+                json.dumps(
+                    {
+                        "type": "segment",
+                        "start": float(start_time),
+                        "end": float(start_time + stream.chunk_duration),
+                        "text": clean,
+                    },
+                    ensure_ascii=False,
+                )
+                + "\n"
+            )
+            sys.stdout.flush()
+        if time_test:
+            section["gen_time_sec"] = loop_total
+            section["decoded_tokens"] = int(len(gen))
+            time_results.append(section)
+        if output_dir is not None:
+            with open_vtt(output_dir) as vf:
+                vf.write(
+                    f"{sec2ts(start_time)} --> {sec2ts(start_time + stream.chunk_duration)}\n"
+                    f" Infer Time: {loop_total:.3f}s\n {response}\n\n"
+                )
+
+    if time_test:
+        return responses, time_results
+    return responses

@@ -72,7 +72,7 @@ class ChunkStatics:
         )
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 8))
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3))
 def chunk_step(
     statics: ChunkStatics,
     params: Params,
@@ -82,15 +82,20 @@ def chunk_step(
     tokens: jnp.ndarray,  # [t_pad] int32 (padded)
     vis_embeds: Optional[jnp.ndarray],  # [N_vis, D] or None
     vis_slots: Optional[jnp.ndarray],  # [N_vis] int32 rows within the chunk
-    presence: jnp.ndarray,  # [V] bool
+    presence_packed: jnp.ndarray,  # [ceil(V/8)] uint8 (np.packbits, big-endian)
     insert_at: jnp.ndarray,  # scalar int32: first arena slot for chunk tokens
     n_real: jnp.ndarray,  # scalar int32: real (unpadded) chunk length
     eos_id: jnp.ndarray,  # scalar int32
     rng: jax.Array,
 ):
-    """Returns (k_arena, v_arena, gen_tokens [max_new], n_gen, presence)."""
+    """Returns (k_arena, v_arena, gen_tokens [max_new], n_gen)."""
     cfg = statics.cfg
     tcfg = cfg.text
+
+    # unpack the repetition-penalty presence bitmask (shipped packed: 8x fewer
+    # host->device bytes)
+    bits = (presence_packed[:, None] >> (7 - jnp.arange(8, dtype=jnp.uint8))) & 1
+    presence = bits.reshape(-1)[: tcfg.vocab_size].astype(jnp.bool_)
 
     embeds = language.embed_tokens(tcfg, params["text"], tokens)
     if vis_embeds is not None:
@@ -154,7 +159,7 @@ def chunk_step(
         jnp.arange(statics.max_new),
     )
     n_gen = jnp.sum(~was_done)
-    return k_arena, v_arena, gen, n_gen, presence
+    return k_arena, v_arena, gen, n_gen
 
 
 # ---------------------------------------------------------------------------
@@ -227,12 +232,19 @@ class StreamingEngine:
         # the uncached tail is always the newest tokens — still at the end
         self.cached = new_len - self.uncached_tail
 
+    def upload_frames(self, frames_u8: np.ndarray):
+        """Start an async host->device transfer of a chunk's uint8 frames —
+        call for chunk i+1 before processing chunk i to overlap the copy with
+        compute (the reference's decode/generate overlap north star)."""
+        return jax.device_put(frames_u8)
+
     def process_chunk(
         self,
         chunk_segs: List,  # list of Seg to append for this chunk (incl. asst_open)
-        pixel_patches: Optional[np.ndarray],
-        grid_thw: Optional[Tuple[int, int, int]],
+        pixel_patches: Optional[np.ndarray] = None,
+        grid_thw: Optional[Tuple[int, int, int]] = None,
         *,
+        frames_u8=None,  # [T, H, W, 3] uint8 (np array or device handle)
         max_new: Optional[int] = None,
     ) -> Tuple[np.ndarray, int]:
         """Evict, ingest one chunk (text+video segments ending with the
@@ -275,16 +287,22 @@ class StreamingEngine:
         # vision embeds for this chunk
         vis_embeds = None
         vis_slots = None
-        if pixel_patches is not None:
+        if frames_u8 is not None:
+            vis_embeds = model.encode_video_frames(
+                self.cfg, self.params, frames_u8, grid_thw, dtype=self.dtype
+            )
+        elif pixel_patches is not None:
             vis_embeds = model.encode_video(
                 self.cfg, self.params, jnp.asarray(pixel_patches, self.dtype), (grid_thw,)
             )
+        if vis_embeds is not None:
             (slots,) = np.nonzero(chunk_ids == tkn.video_pad)
             vis_slots = jnp.asarray(slots, jnp.int32)
 
         # repetition-penalty presence = all surviving ids + chunk ids
         presence = np.zeros(self.cfg.text.vocab_size, bool)
         presence[self.table.token_ids()] = True
+        presence_packed = np.packbits(presence)
         tokens = np.full(t_pad, tkn.pad, np.int32)
         tokens[:n_real] = chunk_ids
 
@@ -297,7 +315,7 @@ class StreamingEngine:
             do_sample=self.sampling.do_sample,
         )
         self.rng, key = jax.random.split(self.rng)
-        self.k_arena, self.v_arena, gen, n_gen, _ = chunk_step(
+        self.k_arena, self.v_arena, gen, n_gen = chunk_step(
             statics,
             self.params,
             self.k_arena,
@@ -306,7 +324,7 @@ class StreamingEngine:
             jnp.asarray(tokens),
             vis_embeds,
             vis_slots,
-            jnp.asarray(presence),
+            jnp.asarray(presence_packed),
             jnp.asarray(self.cached, jnp.int32),
             jnp.asarray(n_real, jnp.int32),
             jnp.asarray(tkn.im_end, jnp.int32),
@@ -323,6 +341,22 @@ class StreamingEngine:
             self.uncached_tail = 1
         self.chunk_index += 1
         return gen_real, len(gen_real)
+
+    def rollback_generation(self, n_emitted: int) -> None:
+        """Drop the KV of the tokens generated this chunk (the last
+        `n_emitted - uncached_tail` arena slots) — used by ground-truth
+        teacher forcing, mirroring the reference's prune of the decoded turn
+        (inference.py:483-487). Slots are simply un-counted; future writes
+        overwrite them."""
+        written = n_emitted - self.uncached_tail
+        assert written >= 0
+        self.cached -= written
+        self.uncached_tail = 0
+
+    def append_uncached(self, ids: np.ndarray) -> None:
+        """Declare `ids` as table-resident but not yet forwarded — they will
+        prefill with the next chunk (HF re-forwards uncached suffix ids)."""
+        self.uncached_tail += len(ids)
 
     def commit_assistant(self, gen_real: np.ndarray, end_bias: int, rnd: int) -> None:
         """Record the generated assistant turn in the segment table, split into

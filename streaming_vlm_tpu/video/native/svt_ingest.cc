@@ -1,0 +1,310 @@
+// svt_ingest: native video ingest for streaming-vlm-tpu.
+//
+// FFmpeg (libavformat/libavcodec/libswscale) based demux -> decode -> resize
+// pipeline replacing the reference's decord dependency (SURVEY.md §2b;
+// reference usage at livecc_utils/src/livecc_utils/video_process_patch.py:60,120).
+// Exposed to Python via a C ABI + ctypes (streaming_vlm_tpu/video/ingest.py).
+//
+// Capabilities:
+//   * packet-level PTS index built at open (frame start/end timestamps,
+//     like decord's _frame_pts table) without decoding
+//   * batched frame fetch by index with keyframe seek + forward decode
+//   * bicubic resize to the target (smart_resize) geometry in native code
+//   * a tiny test-video encoder so unit tests need no external assets
+//
+// Build: g++ -O2 -fPIC -shared svt_ingest.cc -lavformat -lavcodec -lavutil
+//        -lswscale -o libsvt_ingest.so
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct FrameInfo {
+  int64_t pts;      // stream time_base units
+  double start_s;   // seconds
+  double end_s;     // seconds (start + duration)
+  int keyframe;
+};
+
+struct Reader {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* dec = nullptr;
+  SwsContext* sws = nullptr;
+  int stream_index = -1;
+  int width = 0, height = 0;
+  double avg_fps = 0.0;
+  std::vector<FrameInfo> frames;  // sorted by pts (presentation order)
+  // decode cursor: presentation index of the next frame the decoder will emit
+  int64_t cursor = 0;
+  bool cursor_valid = false;
+  AVFrame* frame = nullptr;
+  AVPacket* pkt = nullptr;
+  int sws_w = -1, sws_h = -1;
+  std::string error;
+};
+
+int build_index(Reader* r) {
+  AVPacket* pkt = av_packet_alloc();
+  while (av_read_frame(r->fmt, pkt) >= 0) {
+    if (pkt->stream_index == r->stream_index) {
+      FrameInfo fi;
+      fi.pts = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
+      AVRational tb = r->fmt->streams[r->stream_index]->time_base;
+      double dur = pkt->duration > 0
+                       ? pkt->duration * av_q2d(tb)
+                       : (r->avg_fps > 0 ? 1.0 / r->avg_fps : 0.0);
+      fi.start_s = fi.pts * av_q2d(tb);
+      fi.end_s = fi.start_s + dur;
+      fi.keyframe = (pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0;
+      r->frames.push_back(fi);
+    }
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  std::sort(r->frames.begin(), r->frames.end(),
+            [](const FrameInfo& a, const FrameInfo& b) { return a.pts < b.pts; });
+  // rewind for decoding
+  av_seek_frame(r->fmt, r->stream_index, r->frames.empty() ? 0 : r->frames[0].pts,
+                AVSEEK_FLAG_BACKWARD);
+  return (int)r->frames.size();
+}
+
+// decode forward until the frame with presentation index `target` is emitted;
+// writes it (resized) into out. Returns 0 on success.
+int decode_to(Reader* r, int64_t target, int out_w, int out_h, uint8_t* out) {
+  AVRational tb = r->fmt->streams[r->stream_index]->time_base;
+
+  if (!r->cursor_valid || target < r->cursor || target > r->cursor + 64) {
+    // seek to nearest keyframe at/before target
+    int64_t k = target;
+    while (k > 0 && !r->frames[k].keyframe) k--;
+    av_seek_frame(r->fmt, r->stream_index, r->frames[k].pts, AVSEEK_FLAG_BACKWARD);
+    avcodec_flush_buffers(r->dec);
+    r->cursor = -1;  // unknown until first frame decodes
+    r->cursor_valid = false;
+  }
+
+  int64_t target_pts = r->frames[target].pts;
+  while (true) {
+    int ret = avcodec_receive_frame(r->dec, r->frame);
+    if (ret == 0) {
+      int64_t fpts = r->frame->pts != AV_NOPTS_VALUE
+                         ? r->frame->pts
+                         : r->frame->best_effort_timestamp;
+      // establish cursor from pts
+      auto it = std::lower_bound(
+          r->frames.begin(), r->frames.end(), fpts,
+          [](const FrameInfo& f, int64_t p) { return f.pts < p; });
+      int64_t idx = it - r->frames.begin();
+      r->cursor = idx + 1;
+      r->cursor_valid = true;
+      if (fpts >= target_pts) {
+        if (r->sws == nullptr || r->sws_w != out_w || r->sws_h != out_h) {
+          if (r->sws) sws_freeContext(r->sws);
+          r->sws = sws_getContext(r->dec->width, r->dec->height,
+                                  (AVPixelFormat)r->frame->format, out_w, out_h,
+                                  AV_PIX_FMT_RGB24, SWS_BICUBIC, nullptr,
+                                  nullptr, nullptr);
+          r->sws_w = out_w;
+          r->sws_h = out_h;
+        }
+        uint8_t* dst[1] = {out};
+        int dst_stride[1] = {out_w * 3};
+        sws_scale(r->sws, r->frame->data, r->frame->linesize, 0,
+                  r->dec->height, dst, dst_stride);
+        av_frame_unref(r->frame);
+        return 0;
+      }
+      av_frame_unref(r->frame);
+      continue;
+    }
+    if (ret == AVERROR(EAGAIN)) {
+      int pret;
+      do {
+        pret = av_read_frame(r->fmt, r->pkt);
+        if (pret < 0) {
+          avcodec_send_packet(r->dec, nullptr);  // flush
+          break;
+        }
+        if (r->pkt->stream_index == r->stream_index) {
+          avcodec_send_packet(r->dec, r->pkt);
+          av_packet_unref(r->pkt);
+          break;
+        }
+        av_packet_unref(r->pkt);
+      } while (true);
+      continue;
+    }
+    return -1;  // EOF or error before reaching target
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* svt_open(const char* path) {
+  auto* r = new Reader();
+  if (avformat_open_input(&r->fmt, path, nullptr, nullptr) < 0) {
+    delete r;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(r->fmt, nullptr) < 0) {
+    avformat_close_input(&r->fmt);
+    delete r;
+    return nullptr;
+  }
+  const AVCodec* codec = nullptr;
+  r->stream_index =
+      av_find_best_stream(r->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
+  if (r->stream_index < 0 || !codec) {
+    avformat_close_input(&r->fmt);
+    delete r;
+    return nullptr;
+  }
+  AVStream* st = r->fmt->streams[r->stream_index];
+  r->dec = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(r->dec, st->codecpar);
+  r->dec->thread_count = 2;  // decord uses num_threads=2 (video_process_patch.py:60)
+  if (avcodec_open2(r->dec, codec, nullptr) < 0) {
+    avcodec_free_context(&r->dec);
+    avformat_close_input(&r->fmt);
+    delete r;
+    return nullptr;
+  }
+  r->width = r->dec->width;
+  r->height = r->dec->height;
+  r->avg_fps = st->avg_frame_rate.den ? av_q2d(st->avg_frame_rate) : 0.0;
+  r->frame = av_frame_alloc();
+  r->pkt = av_packet_alloc();
+  build_index(r);
+  return r;
+}
+
+int svt_n_frames(void* h) { return (int)((Reader*)h)->frames.size(); }
+int svt_width(void* h) { return ((Reader*)h)->width; }
+int svt_height(void* h) { return ((Reader*)h)->height; }
+double svt_avg_fps(void* h) { return ((Reader*)h)->avg_fps; }
+
+// out: [n_frames, 2] (start_s, end_s)
+void svt_timestamps(void* h, double* out) {
+  auto* r = (Reader*)h;
+  for (size_t i = 0; i < r->frames.size(); i++) {
+    out[2 * i] = r->frames[i].start_s;
+    out[2 * i + 1] = r->frames[i].end_s;
+  }
+}
+
+// Fetch n frames by presentation index into out (n * out_h * out_w * 3, RGB24).
+int svt_fetch(void* h, const int64_t* indices, int n, int out_w, int out_h,
+              uint8_t* out) {
+  auto* r = (Reader*)h;
+  for (int i = 0; i < n; i++) {
+    int64_t idx = indices[i];
+    if (idx < 0 || idx >= (int64_t)r->frames.size()) return -2;
+    if (i > 0 && indices[i] == indices[i - 1]) {
+      memcpy(out + (size_t)i * out_h * out_w * 3,
+             out + (size_t)(i - 1) * out_h * out_w * 3,
+             (size_t)out_h * out_w * 3);
+      continue;
+    }
+    if (decode_to(r, idx, out_w, out_h,
+                  out + (size_t)i * out_h * out_w * 3) != 0)
+      return -1;
+  }
+  return 0;
+}
+
+void svt_close(void* h) {
+  auto* r = (Reader*)h;
+  if (r->sws) sws_freeContext(r->sws);
+  if (r->frame) av_frame_free(&r->frame);
+  if (r->pkt) av_packet_free(&r->pkt);
+  if (r->dec) avcodec_free_context(&r->dec);
+  if (r->fmt) avformat_close_input(&r->fmt);
+  delete r;
+}
+
+// ---------------------------------------------------------------------------
+// Test-video encoder: write n_frames of a moving gradient at (w, h, fps) so
+// unit tests need no external assets.
+// ---------------------------------------------------------------------------
+int svt_write_test_video(const char* path, int w, int h, int n_frames,
+                         int fps) {
+  AVFormatContext* fmt = nullptr;
+  avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
+  if (!fmt) return -1;
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!codec) return -2;
+  AVStream* st = avformat_new_stream(fmt, nullptr);
+  AVCodecContext* enc = avcodec_alloc_context3(codec);
+  enc->width = w;
+  enc->height = h;
+  enc->time_base = {1, fps};
+  enc->framerate = {fps, 1};
+  enc->pix_fmt = AV_PIX_FMT_YUV420P;
+  enc->gop_size = 12;
+  enc->bit_rate = 800000;
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(enc, codec, nullptr) < 0) return -3;
+  avcodec_parameters_from_context(st->codecpar, enc);
+  st->time_base = enc->time_base;
+  if (!(fmt->oformat->flags & AVFMT_NOFILE))
+    if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) return -4;
+  if (avformat_write_header(fmt, nullptr) < 0) return -5;
+
+  AVFrame* f = av_frame_alloc();
+  f->format = enc->pix_fmt;
+  f->width = w;
+  f->height = h;
+  av_frame_get_buffer(f, 0);
+  AVPacket* pkt = av_packet_alloc();
+
+  for (int i = 0; i < n_frames; i++) {
+    av_frame_make_writable(f);
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++)
+        f->data[0][y * f->linesize[0] + x] = (uint8_t)((x + y + i * 8) & 0xFF);
+    for (int y = 0; y < h / 2; y++)
+      for (int x = 0; x < w / 2; x++) {
+        f->data[1][y * f->linesize[1] + x] = (uint8_t)((128 + i * 4) & 0xFF);
+        f->data[2][y * f->linesize[2] + x] = (uint8_t)((64 + x) & 0xFF);
+      }
+    f->pts = i;
+    if (avcodec_send_frame(enc, f) == 0) {
+      while (avcodec_receive_packet(enc, pkt) == 0) {
+        av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+        pkt->stream_index = st->index;
+        av_interleaved_write_frame(fmt, pkt);
+      }
+    }
+  }
+  avcodec_send_frame(enc, nullptr);
+  while (avcodec_receive_packet(enc, pkt) == 0) {
+    av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+    pkt->stream_index = st->index;
+    av_interleaved_write_frame(fmt, pkt);
+  }
+  av_write_trailer(fmt);
+  av_packet_free(&pkt);
+  av_frame_free(&f);
+  avcodec_free_context(&enc);
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return 0;
+}
+
+}  // extern "C"
