@@ -122,20 +122,53 @@ def _gqa_attention(
     return out.reshape(T, H * hd)
 
 
+def _gqa_attention_multi(
+    q: jnp.ndarray,  # [T, H, hd] (rotated)
+    kv_parts,  # list of (k [S_p, Hkv, hd] rotated, v [S_p, Hkv, hd], mask [T, S_p])
+) -> jnp.ndarray:
+    """GQA attention over several read-only KV sources with a joint softmax.
+    Logit blocks per source are concatenated along the key axis — the arena is
+    never copied or rebuilt, only read."""
+    T, H, hd = q.shape
+    Hkv = kv_parts[0][0].shape[1]
+    G = H // Hkv
+    scale = 1.0 / np.sqrt(hd)
+    qg = q.reshape(T, Hkv, G, hd)
+    logit_blocks = []
+    for k, v, mask in kv_parts:
+        lg = jnp.einsum("tkgd,skd->kgts", qg, k, preferred_element_type=jnp.float32)
+        lg = jnp.where(mask[None, None, :, :], lg * scale, NEG_INF)
+        logit_blocks.append(lg)
+    logits = jnp.concatenate(logit_blocks, axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    outs = []
+    off = 0
+    for k, v, mask in kv_parts:
+        p = probs[..., off : off + k.shape[0]].astype(v.dtype)
+        outs.append(jnp.einsum("kgts,skd->tkgd", p, v))
+        off += k.shape[0]
+    out = sum(outs)
+    return out.reshape(T, H * hd)
+
+
+def _gqa_attention(q, k, v, mask):
+    """Single-source GQA attention (used by tests/oracles)."""
+    return _gqa_attention_multi(q, [(k, v, mask)])
+
+
 def _layer_body(
     cfg: TextConfig,
-    carry: Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]], Any],
+    hidden: jnp.ndarray,
     lp: Params,
     *,
     q_cos,
     q_sin,
-    k_cos,
-    k_sin,
-    mask,
-    insert_at,
+    self_mask,  # [T, T] mask over the block's own keys (causal)
+    context,  # list of (k_raw [S,Hkv,hd], v [S,Hkv,hd], cos [S,f], sin [S,f], mask [T,S])
 ):
-    """One decoder layer. carry = (hidden [T, D], (k_arena, v_arena) iterator slot)."""
-    hidden, k_arena_l, v_arena_l = carry
+    """One decoder layer: attention over read-only context KV sources plus the
+    block's own (new) K/V. Returns (hidden, k_new, v_new). Context sources are
+    never written — the caller merges k_new/v_new into its arena afterwards."""
     T = hidden.shape[0]
     H = cfg.num_attention_heads
     Hkv = cfg.num_key_value_heads
@@ -148,98 +181,115 @@ def _layer_body(
 
     q = apply_rope(q, q_cos[:, None, :], q_sin[:, None, :])
 
-    if k_arena_l is not None:
-        # Streaming path: write raw K/V into the arena, rotate the whole arena
-        # K with per-slot positions, attend over all slots.
-        k_arena_l = jax.lax.dynamic_update_slice(k_arena_l, k_new, (insert_at, 0, 0))
-        v_arena_l = jax.lax.dynamic_update_slice(v_arena_l, v_new, (insert_at, 0, 0))
-        k_rot = apply_rope(k_arena_l, k_cos[:, None, :], k_sin[:, None, :])
-        attn = _gqa_attention(q, k_rot, v_arena_l, mask)
-    else:
-        # Full (offline/training) path: rotate current K, causal attention.
-        k_rot = apply_rope(k_new, k_cos[:, None, :], k_sin[:, None, :])
-        attn = _gqa_attention(q, k_rot, v_new, mask)
+    parts = []
+    for k_raw, v, cos, sin, mask in context:
+        k_rot = apply_rope(k_raw, cos[:, None, :], sin[:, None, :])
+        parts.append((k_rot, v, mask))
+    # the block's own keys (rotated with q's positions)
+    parts.append(
+        (apply_rope(k_new, q_cos[:, None, :], q_sin[:, None, :]), v_new, self_mask)
+    )
 
+    attn = _gqa_attention_multi(q, parts)
     hidden = hidden + jnp.dot(attn, lp["o_w"])
     x = rms_norm(hidden, lp["post_ln"], cfg.rms_norm_eps)
     hidden = hidden + swiglu(x, lp["gate_w"], lp["up_w"], lp["down_w"])
-    return hidden, k_arena_l, v_arena_l
+    return hidden, k_new, v_new
 
 
 def language_forward(
     cfg: TextConfig,
     params: Params,
     inputs_embeds: jnp.ndarray,  # [T, D]
-    positions: jnp.ndarray,  # [3, T] float32 — positions of the T current tokens
-    *,
-    kv_arena: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-    # [layers, capacity, Hkv, hd] x2 — un-rotated K, V
-    slot_positions: Optional[jnp.ndarray] = None,  # [3, capacity] float32
-    insert_at: Optional[jnp.ndarray] = None,  # scalar int32: first slot for new tokens
-    attn_mask: Optional[jnp.ndarray] = None,  # [T, S] bool; default causal
-) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
-    """Run the decoder stack. Returns (hidden [T, D] post-final-norm, new arena).
-
-    Streaming mode (kv_arena given): new K/V are written at slots
-    [insert_at, insert_at+T); attention spans the whole arena with
-    `attn_mask` [T, capacity]. K in the arena is un-rotated; rotation uses
-    `slot_positions`.
-
-    Offline mode (kv_arena None): plain causal self-attention over T tokens.
-    """
+    positions: jnp.ndarray,  # [3, T] float32
+    attn_mask: Optional[jnp.ndarray] = None,  # [T, T] bool; default causal
+) -> jnp.ndarray:
+    """Offline / training decoder stack: plain causal self-attention.
+    Returns hidden [T, D] post-final-norm."""
     T = inputs_embeds.shape[0]
     inv_freq = jnp.asarray(make_inv_freq(cfg.head_dim, cfg.rope_theta))
-
     q_cos, q_sin = mrope_cos_sin(positions, inv_freq, cfg.mrope_section)
+    if attn_mask is None:
+        attn_mask = jnp.tril(jnp.ones((T, T), bool))
 
-    if kv_arena is not None:
-        assert slot_positions is not None and insert_at is not None
-        k_cos, k_sin = mrope_cos_sin(slot_positions, inv_freq, cfg.mrope_section)
-        capacity = kv_arena[0].shape[1]
-        if attn_mask is None:
-            slot_ids = jnp.arange(capacity)[None, :]
-            row_ids = jnp.arange(T)[:, None]
-            attn_mask = slot_ids <= (insert_at + row_ids)
-        mask = attn_mask
-    else:
-        k_cos, k_sin = q_cos, q_sin
-        if attn_mask is None:
-            attn_mask = jnp.tril(jnp.ones((T, T), bool))
-        mask = attn_mask
-
-    body = partial(
-        _layer_body,
-        cfg,
-        q_cos=q_cos,
-        q_sin=q_sin,
-        k_cos=k_cos,
-        k_sin=k_sin,
-        mask=mask,
-        insert_at=insert_at if insert_at is not None else 0,
-    )
-
-    if kv_arena is not None:
-
-        def scan_fn(hidden, layer_in):
-            lp, k_l, v_l = layer_in
-            hidden, k_l, v_l = body((hidden, k_l, v_l), lp)
-            return hidden, (k_l, v_l)
-
-        hidden, (new_k, new_v) = jax.lax.scan(
-            scan_fn, inputs_embeds, (params["layers"], kv_arena[0], kv_arena[1])
+    def scan_fn(hidden, lp):
+        hidden, _, _ = _layer_body(
+            cfg, hidden, lp, q_cos=q_cos, q_sin=q_sin, self_mask=attn_mask, context=[]
         )
-        new_arena = (new_k, new_v)
+        return hidden, None
+
+    hidden, _ = jax.lax.scan(scan_fn, inputs_embeds, params["layers"])
+    return rms_norm(hidden, params["final_ln"], cfg.rms_norm_eps)
+
+
+def language_forward_streaming(
+    cfg: TextConfig,
+    params: Params,
+    inputs_embeds: jnp.ndarray,  # [T, D]
+    q_positions: jnp.ndarray,  # [3, T] float32
+    *,
+    arena: Tuple[jnp.ndarray, jnp.ndarray],  # READ-ONLY [L, C, Hkv, hd] x2 (un-rotated K)
+    arena_positions: jnp.ndarray,  # [3, C] float32
+    visible_len: jnp.ndarray,  # scalar int32: arena slots < visible_len attendable
+    extra: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # [L, E, Hkv, hd] x2
+    extra_positions: Optional[jnp.ndarray] = None,  # [3, E]
+    extra_visible: Optional[jnp.ndarray] = None,  # scalar int32
+    self_mask: Optional[jnp.ndarray] = None,  # [T, T]; default causal
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Streaming decoder stack over a read-only KV arena (+ optional small
+    read-only `extra` block, e.g. the decode delta). The arena is NEVER
+    copied or carried through the scan — only its per-layer slices are read;
+    the new block's K/V come back as [L, T, Hkv, hd] for the caller to merge
+    with one dynamic_update_slice. K sources are un-rotated; rotation is
+    applied at attention time from per-slot positions (the reference's shrink
+    semantics, language_forward.py:184-197, at flat per-token cost)."""
+    T = inputs_embeds.shape[0]
+    C = arena[0].shape[1]
+    inv_freq = jnp.asarray(make_inv_freq(cfg.head_dim, cfg.rope_theta))
+    q_cos, q_sin = mrope_cos_sin(q_positions, inv_freq, cfg.mrope_section)
+    a_cos, a_sin = mrope_cos_sin(arena_positions, inv_freq, cfg.mrope_section)
+    arena_mask = jnp.broadcast_to(
+        (jnp.arange(C) < visible_len)[None, :], (T, C)
+    )
+    if self_mask is None:
+        self_mask = jnp.tril(jnp.ones((T, T), bool))
+
+    if extra is not None:
+        E = extra[0].shape[1]
+        e_cos, e_sin = mrope_cos_sin(extra_positions, inv_freq, cfg.mrope_section)
+        extra_mask = jnp.broadcast_to(
+            (jnp.arange(E) < extra_visible)[None, :], (T, E)
+        )
+
+        def scan_fn(hidden, xs):
+            lp, ak, av, ek, ev = xs
+            ctx = [(ak, av, a_cos, a_sin, arena_mask), (ek, ev, e_cos, e_sin, extra_mask)]
+            hidden, kn, vn = _layer_body(
+                cfg, hidden, lp, q_cos=q_cos, q_sin=q_sin, self_mask=self_mask, context=ctx
+            )
+            return hidden, (kn, vn)
+
+        hidden, (k_block, v_block) = jax.lax.scan(
+            scan_fn,
+            inputs_embeds,
+            (params["layers"], arena[0], arena[1], extra[0], extra[1]),
+        )
     else:
 
-        def scan_fn(hidden, lp):
-            hidden, _, _ = body((hidden, None, None), lp)
-            return hidden, None
+        def scan_fn(hidden, xs):
+            lp, ak, av = xs
+            ctx = [(ak, av, a_cos, a_sin, arena_mask)]
+            hidden, kn, vn = _layer_body(
+                cfg, hidden, lp, q_cos=q_cos, q_sin=q_sin, self_mask=self_mask, context=ctx
+            )
+            return hidden, (kn, vn)
 
-        hidden, _ = jax.lax.scan(scan_fn, inputs_embeds, params["layers"])
-        new_arena = None
+        hidden, (k_block, v_block) = jax.lax.scan(
+            scan_fn, inputs_embeds, (params["layers"], arena[0], arena[1])
+        )
 
     hidden = rms_norm(hidden, params["final_ln"], cfg.rms_norm_eps)
-    return hidden, new_arena
+    return hidden, (k_block, v_block)
 
 
 def embed_tokens(cfg: TextConfig, params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:

@@ -150,7 +150,7 @@ def forward_full(
         (slots,) = np.nonzero(ids_np == cfg.tokens.video_pad)
         embeds = merge_vision_embeds(embeds, vis, jnp.asarray(slots, jnp.int32))
 
-    hidden, _ = language.language_forward(
+    hidden = language.language_forward(
         cfg.text, params["text"], embeds, jnp.asarray(positions)
     )
     return language.lm_logits(cfg.text, params["text"], hidden)

@@ -101,27 +101,41 @@ def chunk_step(
     if vis_embeds is not None:
         embeds = embeds.at[vis_slots].set(vis_embeds.astype(embeds.dtype))
 
-    C = k_arena.shape[1]
     q_pos = jax.lax.dynamic_slice(
         slot_positions, (0, insert_at), (3, statics.t_pad)
     )
 
-    hidden, (k_arena, v_arena) = language.language_forward(
+    # ---- chunk prefill: arena is READ-ONLY; the block's K/V come back as
+    # [L, T, Hkv, hd] and merge with one dynamic_update_slice
+    hidden, (k_block, v_block) = language.language_forward_streaming(
         tcfg,
         params["text"],
         embeds,
         q_pos,
-        kv_arena=(k_arena, v_arena),
-        slot_positions=slot_positions,
-        insert_at=insert_at,
+        arena=(k_arena, v_arena),
+        arena_positions=slot_positions,
+        visible_len=insert_at,
+    )
+    adt = k_arena.dtype
+    k_arena = jax.lax.dynamic_update_slice(
+        k_arena, k_block.astype(adt), (0, insert_at, 0, 0)
+    )
+    v_arena = jax.lax.dynamic_update_slice(
+        v_arena, v_block.astype(adt), (0, insert_at, 0, 0)
     )
     last_hidden = jax.lax.dynamic_slice(hidden, (n_real - 1, 0), (1, hidden.shape[1]))
     logits0 = language.lm_logits(tcfg, params["text"], last_hidden)[0]
 
     decode_base = insert_at + n_real  # first arena slot for generated tokens
+    delta_pos = jax.lax.dynamic_slice(
+        slot_positions, (0, decode_base), (3, statics.max_new)
+    )
+    L = k_arena.shape[0]
+    Hkv, hd = k_arena.shape[2], k_arena.shape[3]
+    delta_shape = (L, statics.max_new, Hkv, hd)
 
     def decode_body(carry, step):
-        k_a, v_a, logits, presence, done, rng = carry
+        dk, dv, logits, presence, done, rng = carry
         rng, key = jax.random.split(rng)
         tok = sample_token(
             key,
@@ -136,28 +150,41 @@ def chunk_step(
         emitted = tok
         now_done = done | (tok == eos_id)
 
-        slot = decode_base + step
         emb = language.embed_tokens(tcfg, params["text"], tok[None])
-        pos = jax.lax.dynamic_slice(slot_positions, (0, slot), (3, 1))
-        slot_mask = jnp.arange(C)[None, :] <= slot
-        hidden, (k_a, v_a) = language.language_forward(
+        pos = jax.lax.dynamic_slice(delta_pos, (0, step), (3, 1))
+        # arena (incl. the merged chunk block) + decode-delta-so-far; the
+        # arena is closed over, never carried -> no per-token copies
+        hidden, (k1, v1) = language.language_forward_streaming(
             tcfg,
             params["text"],
             emb,
             pos,
-            kv_arena=(k_a, v_a),
-            slot_positions=slot_positions,
-            insert_at=slot,
-            attn_mask=slot_mask,
+            arena=(k_arena, v_arena),
+            arena_positions=slot_positions,
+            visible_len=decode_base,
+            extra=(dk, dv),
+            extra_positions=delta_pos,
+            extra_visible=step,
         )
+        dk = jax.lax.dynamic_update_slice(dk, k1.astype(adt), (0, step, 0, 0))
+        dv = jax.lax.dynamic_update_slice(dv, v1.astype(adt), (0, step, 0, 0))
         logits = language.lm_logits(tcfg, params["text"], hidden)[0]
-        return (k_a, v_a, logits, presence, now_done, rng), (emitted, done)
+        return (dk, dv, logits, presence, now_done, rng), (emitted, done)
 
-    (k_arena, v_arena, _, presence, _, _), (gen, was_done) = jax.lax.scan(
+    (dk, dv, _, presence, _, _), (gen, was_done) = jax.lax.scan(
         decode_body,
-        (k_arena, v_arena, logits0, presence, jnp.asarray(False), rng),
+        (
+            jnp.zeros(delta_shape, adt),
+            jnp.zeros(delta_shape, adt),
+            logits0,
+            presence,
+            jnp.asarray(False),
+            rng,
+        ),
         jnp.arange(statics.max_new),
     )
+    k_arena = jax.lax.dynamic_update_slice(k_arena, dk, (0, decode_base, 0, 0))
+    v_arena = jax.lax.dynamic_update_slice(v_arena, dv, (0, decode_base, 0, 0))
     n_gen = jnp.sum(~was_done)
     return k_arena, v_arena, gen, n_gen
 

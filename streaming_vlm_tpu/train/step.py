@@ -36,7 +36,7 @@ def sft_loss(
 
     def per_example(ids, labels, positions, embeds):
         x = embeds if embeds is not None else language.embed_tokens(tcfg, params["text"], ids)
-        hidden, _ = language.language_forward(tcfg, params["text"], x, positions)
+        hidden = language.language_forward(tcfg, params["text"], x, positions)
         logits = language.lm_logits(tcfg, params["text"], hidden)  # [T, V] f32
         # next-token shift
         logits = logits[:-1]
