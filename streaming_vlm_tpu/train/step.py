@@ -34,8 +34,12 @@ def sft_loss(
     Returns (mean loss over labeled tokens, labeled-token count)."""
     tcfg = cfg.text
 
-    def per_example(ids, labels, positions, embeds):
-        x = embeds if embeds is not None else language.embed_tokens(tcfg, params["text"], ids)
+    def per_example(ids, labels, positions, vis_embeds, vis_slots):
+        x = language.embed_tokens(tcfg, params["text"], ids)
+        if vis_embeds is not None:
+            # frozen-ViT embeddings scattered into video-token slots; padded
+            # slots point out of range and are dropped
+            x = x.at[vis_slots].set(vis_embeds.astype(x.dtype), mode="drop")
         hidden = language.language_forward(tcfg, params["text"], x, positions)
         logits = language.lm_logits(tcfg, params["text"], hidden)  # [T, V] f32
         # next-token shift
@@ -48,12 +52,16 @@ def sft_loss(
         nll = jnp.where(mask, nll, 0.0)
         return nll.sum(), mask.sum()
 
-    embeds = batch.get("inputs_embeds")
-    total, count = jax.vmap(
-        lambda i, l, p: per_example(
-            i, l, p, None if embeds is None else embeds
+    ve = batch.get("vis_embeds")
+    vs = batch.get("vis_slots")
+    if ve is not None:
+        total, count = jax.vmap(per_example)(
+            batch["input_ids"], batch["labels"], batch["positions"], ve, vs
         )
-    )(batch["input_ids"], batch["labels"], batch["positions"])
+    else:
+        total, count = jax.vmap(
+            lambda i, l, p: per_example(i, l, p, None, None)
+        )(batch["input_ids"], batch["labels"], batch["positions"])
     count = jnp.maximum(count.sum(), 1)
     return total.sum() / count, count
 

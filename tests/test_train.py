@@ -1,0 +1,136 @@
+"""Data pipeline + trainer tests on the tiny model and a native test video."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streaming_vlm_tpu.config import VideoConfig, qwen25_vl_tiny
+from streaming_vlm_tpu.data.dataset import (
+    StreamDataset,
+    build_seek_index,
+    data_collator,
+    get_phrase_before_timestamp,
+)
+from streaming_vlm_tpu.models.qwen25_vl import model
+from streaming_vlm_tpu.streaming.protocol import FakeTokenizer
+from streaming_vlm_tpu.train.trainer import TrainConfig, Trainer, find_resume_checkpoint
+from streaming_vlm_tpu.video import ingest
+
+CFG = qwen25_vl_tiny()
+TOK = CFG.tokens
+
+
+@pytest.fixture(scope="module")
+def annotation(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    vid = str(d / "clip.mp4")
+    ingest.build_native()
+    ingest.write_test_video(vid, w=84, h=56, n_frames=60, fps=10)
+
+    text_stream = [
+        [0.0, 0.4, "hello"], [0.5, 0.9, "world"], [1.0, 1.4, "this"],
+        [1.5, 1.9, "is"], [2.0, 2.4, "a"], [2.5, 2.9, "test"],
+        [3.0, 3.4, "of"], [3.5, 3.9, "streams"], [4.0, 4.4, "ok"],
+    ]
+    qa_stream = [[1.0, 2.0, " What is shown?", "A moving gradient."]]
+    conv = [
+        {
+            "role": "user",
+            "content": [
+                {
+                    "type": "video",
+                    "video": vid,
+                    "video_start": 0.0,
+                    "video_end": 5.0,
+                    "previous": "earlier context words",
+                }
+            ],
+        },
+        {
+            "role": "assistant",
+            "content": [{"type": "text", "text_stream": text_stream, "qa_stream": qa_stream}],
+        },
+    ]
+    ann = str(d / "train.jsonl")
+    with open(ann, "w") as f:
+        f.write(json.dumps(conv) + "\n")
+        f.write(json.dumps(conv) + "\n")
+    return ann
+
+
+def test_phrase_before_timestamp():
+    ts = [[0.0, 0.4, "a"], [0.5, 0.9, "b"], [1.0, 1.4, "c"]]
+    phrase, nxt = get_phrase_before_timestamp(ts, 1.0)
+    assert phrase == " a b" and nxt == 2
+    phrase, nxt = get_phrase_before_timestamp(ts, 2.0, start_from=nxt)
+    assert phrase == " c" and nxt == 3
+
+
+def test_dataset_example(annotation):
+    ds = StreamDataset(
+        [annotation],
+        cfg=CFG,
+        encode=FakeTokenizer(TOK),
+        video=VideoConfig(fps=2.0, video_min_pixels=28 * 28, video_max_pixels=16 * 28 * 28),
+        initial_fps_frames=2,
+        streaming_fps_frames=2,
+        text_sink=4,
+        text_sliding_window=4,
+    )
+    assert len(ds) == 2
+    ex = data_collator([ds[0]])
+    T = len(ex.input_ids)
+    assert ex.labels.shape == (T,)
+    assert ex.positions.shape == (3, T)
+    # labels only on assistant spans; each labeled span ends with im_end
+    labeled = ex.labels != -100
+    assert labeled.sum() > 0
+    # vision slots point at video_pad tokens
+    assert np.all(ex.input_ids[ex.vision_slots] == TOK.video_pad)
+    # streaming turns: 5 s at 2 frames/turn -> 5 turns
+    assert len(ex.frames) == 5
+    # qa question injected into round 1 or 2 user text (contains '?')
+    qmark = FakeTokenizer(TOK)("?")[0]
+    assert qmark in ex.input_ids.tolist()
+
+
+def test_trainer_runs_and_resumes(annotation, tmp_path):
+    ds = StreamDataset(
+        [annotation],
+        cfg=CFG,
+        encode=FakeTokenizer(TOK),
+        video=VideoConfig(fps=2.0, video_min_pixels=28 * 28, video_max_pixels=16 * 28 * 28),
+    )
+    params = model.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    out = str(tmp_path / "run")
+    tc = TrainConfig(
+        output_dir=out,
+        learning_rate=1e-3,
+        warmup_steps=1,
+        max_steps=3,
+        grad_accum=1,
+        save_steps=2,
+        seq_buckets=(1024,),
+        vis_buckets=(256,),
+    )
+    tr = Trainer(CFG, params, tc)
+    tr.train(ds, resume=False)
+    assert tr.step == 3
+
+    with open(os.path.join(out, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    assert len(recs) == 3
+    assert all(np.isfinite(r["loss"]) for r in recs)
+    assert recs[0]["labeled_tokens"] > 0
+
+    ckpt = find_resume_checkpoint(out)
+    assert ckpt and ckpt.endswith("checkpoint-2")
+
+    # resume continues from step 2
+    tr2 = Trainer(CFG, model.init_params(CFG, jax.random.PRNGKey(1), dtype=jnp.float32), tc)
+    tr2.train(ds, resume=True, max_steps=3)
+    assert tr2.step == 3
