@@ -235,6 +235,7 @@ def language_forward_streaming(
     extra_positions: Optional[jnp.ndarray] = None,  # [3, E]
     extra_visible: Optional[jnp.ndarray] = None,  # scalar int32
     self_mask: Optional[jnp.ndarray] = None,  # [T, T]; default causal
+    use_pallas: Optional[bool] = None,  # None = auto (TPU backend, prefill only)
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Streaming decoder stack over a read-only KV arena (+ optional small
     read-only `extra` block, e.g. the decode delta). The arena is NEVER
@@ -253,6 +254,54 @@ def language_forward_streaming(
     )
     if self_mask is None:
         self_mask = jnp.tril(jnp.ones((T, T), bool))
+
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() in ("tpu", "axon")
+            and extra is None
+            and T >= 64
+            and T % 64 == 0
+            and C % 512 == 0
+        )
+    if use_pallas and extra is None:
+        from ...ops.attention import streaming_prefill_attention
+
+        H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        acos2 = jnp.concatenate([a_cos, a_cos], axis=-1)
+        asin2 = jnp.concatenate([a_sin, a_sin], axis=-1)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+        def scan_fn_pallas(hidden, xs):
+            lp, ak, av = xs
+            x = rms_norm(hidden, lp["input_ln"], cfg.rms_norm_eps)
+            q = (jnp.dot(x, lp["q_w"]) + lp["q_b"]).reshape(T, H, hd)
+            k_new = (jnp.dot(x, lp["k_w"]) + lp["k_b"]).reshape(T, Hkv, hd)
+            v_new = (jnp.dot(x, lp["v_w"]) + lp["v_b"]).reshape(T, Hkv, hd)
+            q = apply_rope(q, q_cos[:, None, :], q_sin[:, None, :])
+            k_self_rot = apply_rope(k_new, q_cos[:, None, :], q_sin[:, None, :])
+            attn = streaming_prefill_attention(
+                q,
+                ak,
+                av,
+                acos2,
+                asin2,
+                k_self_rot,
+                v_new,
+                visible_len,
+                t_b=128 if T % 128 == 0 else 64,
+                c_b=512,
+                interpret=interpret,
+            ).reshape(T, H * hd)
+            hidden = hidden + jnp.dot(attn, lp["o_w"])
+            x = rms_norm(hidden, lp["post_ln"], cfg.rms_norm_eps)
+            hidden = hidden + swiglu(x, lp["gate_w"], lp["up_w"], lp["down_w"])
+            return hidden, (k_new, v_new)
+
+        hidden, (k_block, v_block) = jax.lax.scan(
+            scan_fn_pallas, inputs_embeds, (params["layers"], arena[0], arena[1])
+        )
+        hidden = rms_norm(hidden, params["final_ln"], cfg.rms_norm_eps)
+        return hidden, (k_block, v_block)
 
     if extra is not None:
         E = extra[0].shape[1]

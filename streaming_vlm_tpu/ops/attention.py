@@ -1,0 +1,247 @@
+"""Pallas TPU attention kernels.
+
+`streaming_prefill_attention`: GQA flash attention for chunk prefill over the
+streaming KV arena. Replaces the jnp path that materialises
+[Hkv, G, T, C] f32 logits (~0.5 GB/layer at T=640, C=12k). Two KV sources
+share one online softmax:
+
+  * the read-only arena (un-rotated K; RoPE applied IN-KERNEL from per-slot
+    cos/sin — the TPU-native form of the reference's shrink-mode full-cache
+    re-rotation, language_forward.py:184-197, now free: K is already in VMEM)
+  * the chunk's own K/V block (pre-rotated outside; causal mask)
+
+Grid: (kv_heads, q_tiles, kv_tiles) with the kv axis innermost; running
+max / denominator / accumulator persist in VMEM scratch across kv tiles
+(canonical flash pattern, see /opt/skills/guides/pallas_guide.md).
+
+This replaces the role of flash-attn's CUDA kernels in the reference
+(language_forward.py:242-252).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    # scalar prefetch
+    visible_ref,  # [1] int32 — arena slots < visible are attendable
+    # inputs
+    q_ref,  # [1, T_b, G, hd]   (rotated q)
+    ka_ref,  # [C_b, 1, hd]      (raw arena K tile)
+    va_ref,  # [C_b, 1, hd]
+    acos_ref,  # [C_b, hd]       (duplicated-half cos for arena slots)
+    asin_ref,  # [C_b, hd]
+    ks_ref,  # [S_b, 1, hd]      (rotated self-block K tile)
+    vs_ref,  # [S_b, 1, hd]
+    # outputs
+    out_ref,  # [1, T_b, G, hd]
+    # scratch
+    m_ref,  # [T_b * G, 128] f32 running max (col 0 used)
+    l_ref,  # [T_b * G, 128] f32 running denom
+    acc_ref,  # [T_b * G, hd] f32
+    *,
+    n_arena_tiles: int,
+    n_self_tiles: int,
+    c_b: int,
+    t_b: int,
+    g: int,
+    hd: int,
+    scale: float,
+):
+    ik = pl.program_id(2)
+    it = pl.program_id(1)
+    rows = t_b * g
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].reshape(rows, hd)  # row = t * G + g
+
+    is_arena = ik < n_arena_tiles
+
+    # ---- load + rotate K tile, build mask
+    def rotate(k, cos, sin):
+        half = hd // 2
+        rot = jnp.concatenate([-k[:, half:], k[:, :half]], axis=-1)
+        return k * cos + rot * sin
+
+    row_t = jax.lax.broadcasted_iota(jnp.int32, (rows, c_b), 0) // g  # q row time
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, c_b), 1)
+
+    def arena_branch():
+        k = ka_ref[:, 0, :].astype(jnp.float32)
+        k = rotate(k, acos_ref[:], asin_ref[:])
+        v = va_ref[:, 0, :]
+        mask = (ik * c_b + col) < visible_ref[0]
+        return k, v, mask
+
+    def self_branch():
+        k = ks_ref[:, 0, :].astype(jnp.float32)
+        v = vs_ref[:, 0, :]
+        j = (ik - n_arena_tiles) * c_b + col
+        t_global = it * t_b + row_t
+        mask = j <= t_global
+        return k, v, mask
+
+    k, v, mask = jax.lax.cond(is_arena, arena_branch, self_branch)
+
+    logits = (
+        jax.lax.dot_general(
+            q.astype(jnp.float32),
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    logits = jnp.where(mask, logits, NEG_INF)
+
+    m_prev = m_ref[:, :1]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(logits - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:, :1] = m_new
+    l_ref[:, :1] = l_new
+
+    @pl.when(ik == n_arena_tiles + n_self_tiles - 1)
+    def _finish():
+        denom = jnp.maximum(l_ref[:, :1], 1e-20)
+        out_ref[0] = (acc_ref[:] / denom).reshape(t_b, g, hd).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_b", "c_b", "interpret")
+)
+def streaming_prefill_attention(
+    q_rot: jnp.ndarray,  # [T, H, hd] rotated queries
+    k_arena: jnp.ndarray,  # [C, Hkv, hd] raw (un-rotated) K
+    v_arena: jnp.ndarray,  # [C, Hkv, hd]
+    acos2: jnp.ndarray,  # [C, hd] duplicated-half cos per slot
+    asin2: jnp.ndarray,  # [C, hd]
+    k_self_rot: jnp.ndarray,  # [T, Hkv, hd] rotated block K
+    v_self: jnp.ndarray,  # [T, Hkv, hd]
+    visible_len: jnp.ndarray,  # scalar int32
+    *,
+    t_b: int = 128,
+    c_b: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns attention output [T, H, hd] (same dtype as v)."""
+    T, H, hd = q_rot.shape
+    C, Hkv, _ = k_arena.shape
+    G = H // Hkv
+    t_b = min(t_b, T)
+    assert T % t_b == 0, (T, t_b)
+    assert C % c_b == 0, (C, c_b)
+    # self block padded to a multiple of c_b
+    s_pad = (-T) % c_b
+    if s_pad:
+        k_self_rot = jnp.pad(k_self_rot, ((0, s_pad), (0, 0), (0, 0)))
+        v_self = jnp.pad(v_self, ((0, s_pad), (0, 0), (0, 0)))
+    S = T + s_pad
+    n_arena_tiles = C // c_b
+    n_self_tiles = S // c_b
+
+    # [Hkv, T/t_b, T_b, G, hd] view of q: regroup heads by kv head
+    qg = q_rot.reshape(T, Hkv, G, hd).transpose(1, 0, 2, 3)
+
+    grid = (Hkv, T // t_b, n_arena_tiles + n_self_tiles)
+
+    def clamp_a(ik, n):
+        return jnp.minimum(ik, n - 1)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        n_arena_tiles=n_arena_tiles,
+        n_self_tiles=n_self_tiles,
+        c_b=c_b,
+        t_b=t_b,
+        g=G,
+        hd=hd,
+        scale=1.0 / float(np.sqrt(hd)),
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, t_b, G, hd), lambda h, it, ik, _vis: (h, it, 0, 0)
+                ),  # q: [Hkv, T, G, hd]
+                pl.BlockSpec(
+                    (c_b, 1, hd),
+                    lambda h, it, ik, _vis: (clamp_a(ik, n_arena_tiles), h, 0),
+                ),
+                pl.BlockSpec(
+                    (c_b, 1, hd),
+                    lambda h, it, ik, _vis: (clamp_a(ik, n_arena_tiles), h, 0),
+                ),
+                pl.BlockSpec(
+                    (c_b, hd), lambda h, it, ik, _vis: (clamp_a(ik, n_arena_tiles), 0)
+                ),
+                pl.BlockSpec(
+                    (c_b, hd), lambda h, it, ik, _vis: (clamp_a(ik, n_arena_tiles), 0)
+                ),
+                pl.BlockSpec(
+                    (c_b, 1, hd),
+                    lambda h, it, ik, _vis: (
+                        jnp.clip(ik - n_arena_tiles, 0, n_self_tiles - 1),
+                        h,
+                        0,
+                    ),
+                ),
+                pl.BlockSpec(
+                    (c_b, 1, hd),
+                    lambda h, it, ik, _vis: (
+                        jnp.clip(ik - n_arena_tiles, 0, n_self_tiles - 1),
+                        h,
+                        0,
+                    ),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, t_b, G, hd), lambda h, it, ik, _vis: (h, it, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((t_b * G, 128), jnp.float32),
+                pltpu.VMEM((t_b * G, 128), jnp.float32),
+                pltpu.VMEM((t_b * G, hd), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Hkv, T, G, hd), v_self.dtype),
+        interpret=interpret,
+    )(
+        jnp.asarray(visible_len, jnp.int32).reshape(1),
+        qg,
+        k_arena,
+        v_arena,
+        acos2,
+        asin2,
+        k_self_rot,
+        v_self,
+    )
+    # [Hkv, T, G, hd] -> [T, H, hd]
+    return out.transpose(1, 0, 2, 3).reshape(T, H, hd)

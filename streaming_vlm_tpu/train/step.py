@@ -23,6 +23,39 @@ Params = Dict[str, Any]
 
 IGNORE_INDEX = -100
 
+CE_CHUNK = 256  # rows per logits chunk: peak logits memory = CE_CHUNK * vocab
+
+
+def chunked_cross_entropy(
+    hidden: jnp.ndarray,  # [T, D]
+    lm_head: jnp.ndarray,  # [D, V]
+    targets: jnp.ndarray,  # [T] int32 (already made safe; mask applied outside)
+) -> jnp.ndarray:
+    """Per-token NLL without materialising the full [T, V] logits.
+
+    The [T, V] f32 logits of a 150k-vocab model at T=8k are ~5 GB — the
+    reference fixes this with liger-kernel's fused linear-CE
+    (patch_liger_kernel.py:209-226). Here: lax.map over row chunks with
+    rematerialisation, so both forward and backward peak at
+    [CE_CHUNK, V]."""
+    T, D = hidden.shape
+    pad = (-T) % CE_CHUNK
+    h = jnp.pad(hidden, ((0, pad), (0, 0)))
+    t = jnp.pad(targets, (0, pad))
+    hc = h.reshape(-1, CE_CHUNK, D)
+    tc = t.reshape(-1, CE_CHUNK)
+
+    @jax.checkpoint
+    def one_chunk(args):
+        hh, tt = args
+        logits = jnp.dot(hh, lm_head, preferred_element_type=jnp.float32)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, tt[:, None], axis=-1)[:, 0]
+        return lse - tgt
+
+    nll = jax.lax.map(one_chunk, (hc, tc))
+    return nll.reshape(-1)[:T]
+
 
 def sft_loss(
     cfg: ModelConfig,
@@ -41,14 +74,17 @@ def sft_loss(
             # slots point out of range and are dropped
             x = x.at[vis_slots].set(vis_embeds.astype(x.dtype), mode="drop")
         hidden = language.language_forward(tcfg, params["text"], x, positions)
-        logits = language.lm_logits(tcfg, params["text"], hidden)  # [T, V] f32
         # next-token shift
-        logits = logits[:-1]
+        hidden = hidden[:-1]
         targets = labels[1:]
         mask = targets != IGNORE_INDEX
         safe_t = jnp.where(mask, targets, 0)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, safe_t[:, None], axis=-1)[:, 0]
+        w = (
+            params["text"]["embed"].T
+            if tcfg.tie_word_embeddings
+            else params["text"]["lm_head"]
+        )
+        nll = chunked_cross_entropy(hidden, w, safe_t)
         nll = jnp.where(mask, nll, 0.0)
         return nll.sum(), mask.sum()
 
