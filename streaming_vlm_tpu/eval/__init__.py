@@ -1,0 +1,1 @@
+from . import efficiency, infstream, judge, livesports, mcq, ovobench  # noqa: F401

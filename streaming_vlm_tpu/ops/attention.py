@@ -37,12 +37,12 @@ def _flash_kernel(
     visible_ref,  # [1] int32 — arena slots < visible are attendable
     # inputs
     q_ref,  # [1, T_b, G, hd]   (rotated q)
-    ka_ref,  # [C_b, 1, hd]      (raw arena K tile)
-    va_ref,  # [C_b, 1, hd]
+    ka_ref,  # [1, C_b, hd]      (raw arena K tile, [Hkv, C, hd] layout)
+    va_ref,  # [1, C_b, hd]
     acos_ref,  # [C_b, hd]       (duplicated-half cos for arena slots)
     asin_ref,  # [C_b, hd]
-    ks_ref,  # [S_b, 1, hd]      (rotated self-block K tile)
-    vs_ref,  # [S_b, 1, hd]
+    ks_ref,  # [1, S_b, hd]      (rotated self-block K tile)
+    vs_ref,  # [1, S_b, hd]
     # outputs
     out_ref,  # [1, T_b, G, hd]
     # scratch
@@ -81,48 +81,46 @@ def _flash_kernel(
     row_t = jax.lax.broadcasted_iota(jnp.int32, (rows, c_b), 0) // g  # q row time
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, c_b), 1)
 
-    def arena_branch():
-        k = ka_ref[:, 0, :].astype(jnp.float32)
-        k = rotate(k, acos_ref[:], asin_ref[:])
-        v = va_ref[:, 0, :]
-        mask = (ik * c_b + col) < visible_ref[0]
-        return k, v, mask
-
-    def self_branch():
-        k = ks_ref[:, 0, :].astype(jnp.float32)
-        v = vs_ref[:, 0, :]
-        j = (ik - n_arena_tiles) * c_b + col
-        t_global = it * t_b + row_t
-        mask = j <= t_global
-        return k, v, mask
-
-    k, v, mask = jax.lax.cond(is_arena, arena_branch, self_branch)
-
-    logits = (
-        jax.lax.dot_general(
-            q.astype(jnp.float32),
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+    def accumulate(k, v, mask):
+        logits = (
+            jax.lax.dot_general(
+                q.astype(k.dtype),
+                k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        logits = jnp.where(mask, logits, NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        * scale
-    )
-    logits = jnp.where(mask, logits, NEG_INF)
+        m_ref[:, :1] = m_new
+        l_ref[:, :1] = l_new
 
-    m_prev = m_ref[:, :1]
-    m_cur = jnp.max(logits, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(logits - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype),
-        v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_ref[:, :1] = m_new
-    l_ref[:, :1] = l_new
+    # predicated branches (Mosaic legalizes side-effect-only scf.if)
+    @pl.when(is_arena & (ik * c_b < visible_ref[0]))
+    def _arena():
+        k = ka_ref[0].astype(jnp.float32)
+        k = rotate(k, acos_ref[:], asin_ref[:]).astype(va_ref.dtype)
+        mask = (ik * c_b + col) < visible_ref[0]
+        accumulate(k, va_ref[0], mask)
+
+    @pl.when(jnp.logical_not(is_arena))
+    def _self():
+        k = ks_ref[0]
+        j = (ik - n_arena_tiles) * c_b + col
+        t_global = it * t_b + row_t
+        accumulate(k, vs_ref[0], j <= t_global)
 
     @pl.when(ik == n_arena_tiles + n_self_tiles - 1)
     def _finish():
@@ -160,6 +158,11 @@ def streaming_prefill_attention(
         k_self_rot = jnp.pad(k_self_rot, ((0, s_pad), (0, 0), (0, 0)))
         v_self = jnp.pad(v_self, ((0, s_pad), (0, 0), (0, 0)))
     S = T + s_pad
+    # [Hkv, S, hd] layouts for Mosaic-friendly blocking
+    ka_h = k_arena.transpose(1, 0, 2)
+    va_h = v_arena.transpose(1, 0, 2)
+    ks_h = k_self_rot.transpose(1, 0, 2)
+    vs_h = v_self.transpose(1, 0, 2)
     n_arena_tiles = C // c_b
     n_self_tiles = S // c_b
 
@@ -192,32 +195,32 @@ def streaming_prefill_attention(
                     (1, t_b, G, hd), lambda h, it, ik, _vis: (h, it, 0, 0)
                 ),  # q: [Hkv, T, G, hd]
                 pl.BlockSpec(
-                    (c_b, 1, hd),
-                    lambda h, it, ik, _vis: (clamp_a(ik, n_arena_tiles), h, 0),
+                    (1, c_b, hd),
+                    lambda h, it, ik, _vis: (h, clamp_a(ik, n_arena_tiles), 0),
                 ),
                 pl.BlockSpec(
-                    (c_b, 1, hd),
-                    lambda h, it, ik, _vis: (clamp_a(ik, n_arena_tiles), h, 0),
-                ),
-                pl.BlockSpec(
-                    (c_b, hd), lambda h, it, ik, _vis: (clamp_a(ik, n_arena_tiles), 0)
+                    (1, c_b, hd),
+                    lambda h, it, ik, _vis: (h, clamp_a(ik, n_arena_tiles), 0),
                 ),
                 pl.BlockSpec(
                     (c_b, hd), lambda h, it, ik, _vis: (clamp_a(ik, n_arena_tiles), 0)
                 ),
                 pl.BlockSpec(
-                    (c_b, 1, hd),
+                    (c_b, hd), lambda h, it, ik, _vis: (clamp_a(ik, n_arena_tiles), 0)
+                ),
+                pl.BlockSpec(
+                    (1, c_b, hd),
                     lambda h, it, ik, _vis: (
-                        jnp.clip(ik - n_arena_tiles, 0, n_self_tiles - 1),
                         h,
+                        jnp.clip(ik - n_arena_tiles, 0, n_self_tiles - 1),
                         0,
                     ),
                 ),
                 pl.BlockSpec(
-                    (c_b, 1, hd),
+                    (1, c_b, hd),
                     lambda h, it, ik, _vis: (
-                        jnp.clip(ik - n_arena_tiles, 0, n_self_tiles - 1),
                         h,
+                        jnp.clip(ik - n_arena_tiles, 0, n_self_tiles - 1),
                         0,
                     ),
                 ),
@@ -236,12 +239,12 @@ def streaming_prefill_attention(
     )(
         jnp.asarray(visible_len, jnp.int32).reshape(1),
         qg,
-        k_arena,
-        v_arena,
+        ka_h,
+        va_h,
         acos2,
         asin2,
-        k_self_rot,
-        v_self,
+        ks_h,
+        vs_h,
     )
     # [Hkv, T, G, hd] -> [T, H, hd]
     return out.transpose(1, 0, 2, 3).reshape(T, H, hd)

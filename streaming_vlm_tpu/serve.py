@@ -50,6 +50,7 @@ class StreamingSession:
         sampling: Optional[SamplingConfig] = None,
         previous_text: str = "",
         query: str = DEFAULT_QUERY,
+        recompute: bool = False,
         dtype=None,
     ):
         import jax.numpy as jnp
@@ -71,6 +72,8 @@ class StreamingSession:
         self.start_bias, self.end_bias = self.builder.measure_biases()
         self.previous_text = previous_text
         self.query = query
+        self.recompute = recompute
+        self._recent_videos: List = []  # (pixel_patches, grid) for recompute mode
 
     def _decode_text(self, ids: np.ndarray) -> str:
         if hasattr(self.tokenizer, "decode"):
@@ -117,11 +120,34 @@ class StreamingSession:
             )
         segs.extend(self.builder.assistant_open_segments(i))
 
+        vis_embeds = None
+        if self.recompute:
+            # config (c): drop the cache, re-encode and re-prefill the whole
+            # surviving window each chunk (reference inference.py:423-438)
+            import jax.numpy as jnp
+
+            from .models.qwen25_vl import model as _model
+
+            self._recent_videos.append((pixel_patches, tuple(int(x) for x in grid_thw)))
+            keep = self.stream.visual_round
+            self._recent_videos = self._recent_videos[-keep:]
+            parts = [
+                _model.encode_video(
+                    self.cfg, self.engine.params, jnp.asarray(p, self.engine.dtype), (g,)
+                )
+                for p, g in self._recent_videos
+            ]
+            vis_embeds = jnp.concatenate(parts, axis=0)
+            pixel_patches = None
+            frames_u8 = None
+
         gen, _ = self.engine.process_chunk(
             segs,
             pixel_patches=pixel_patches,
             grid_thw=tuple(int(x) for x in grid_thw),
             frames_u8=frames_u8,
+            vis_embeds=vis_embeds,
+            recompute=self.recompute,
         )
         if forced_response_ids is not None:
             # ground-truth teacher forcing (reference inference.py:483-487):
@@ -153,6 +179,7 @@ def streaming_inference(
     emit_json: bool = False,
     time_test: bool = False,
     gt_lookup: Optional[Dict[str, str]] = None,
+    recompute: bool = False,
     dtype=None,
 ):
     """Chunked streaming inference over a video file. Returns the list of
@@ -173,6 +200,7 @@ def streaming_inference(
         sampling=sampling,
         previous_text=previous_text,
         query=query,
+        recompute=recompute,
         dtype=dtype,
     )
 

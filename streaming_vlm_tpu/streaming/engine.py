@@ -259,6 +259,13 @@ class StreamingEngine:
         # the uncached tail is always the newest tokens — still at the end
         self.cached = new_len - self.uncached_tail
 
+    def mark_all_uncached(self) -> None:
+        """Invalidate the whole cache: every table token re-prefills with the
+        next chunk (the reference's `recompute` ablation — efficiency config
+        (c), eval/efficiency/efficiency_test.py:26-33)."""
+        self.uncached_tail = self.table.total_len()
+        self.cached = 0
+
     def upload_frames(self, frames_u8: np.ndarray):
         """Start an async host->device transfer of a chunk's uint8 frames —
         call for chunk i+1 before processing chunk i to overlap the copy with
@@ -272,12 +279,16 @@ class StreamingEngine:
         grid_thw: Optional[Tuple[int, int, int]] = None,
         *,
         frames_u8=None,  # [T, H, W, 3] uint8 (np array or device handle)
+        vis_embeds=None,  # precomputed vision embeddings [N_vis, D]
         max_new: Optional[int] = None,
+        recompute: bool = False,
     ) -> Tuple[np.ndarray, int]:
         """Evict, ingest one chunk (text+video segments ending with the
         assistant header), generate up to max_new tokens. Returns
         (generated token ids INCLUDING the final eos, n_gen)."""
         self.evict()
+        if recompute:
+            self.mark_all_uncached()
 
         max_new = max_new or self.stream.max_tokens_per_chunk
         st = self.stream
@@ -312,9 +323,10 @@ class StreamingEngine:
         slot_pos[:, total : total + max_new] = decode_pos
 
         # vision embeds for this chunk
-        vis_embeds = None
         vis_slots = None
-        if frames_u8 is not None:
+        if vis_embeds is not None:
+            pass  # caller supplied (recompute mode: all surviving videos)
+        elif frames_u8 is not None:
             vis_embeds = model.encode_video_frames(
                 self.cfg, self.params, frames_u8, grid_thw, dtype=self.dtype
             )

@@ -81,8 +81,27 @@ int build_index(Reader* r) {
   return (int)r->frames.size();
 }
 
+int scale_out(Reader* r, AVFrame* f, int out_w, int out_h, uint8_t* out) {
+  if (r->sws == nullptr || r->sws_w != out_w || r->sws_h != out_h) {
+    if (r->sws) sws_freeContext(r->sws);
+    r->sws = sws_getContext(r->dec->width, r->dec->height,
+                            (AVPixelFormat)f->format, out_w, out_h,
+                            AV_PIX_FMT_RGB24, SWS_BICUBIC, nullptr, nullptr,
+                            nullptr);
+    r->sws_w = out_w;
+    r->sws_h = out_h;
+  }
+  uint8_t* dst[1] = {out};
+  int dst_stride[1] = {out_w * 3};
+  sws_scale(r->sws, f->data, f->linesize, 0, r->dec->height, dst, dst_stride);
+  return 0;
+}
+
 // decode forward until the frame with presentation index `target` is emitted;
-// writes it (resized) into out. Returns 0 on success.
+// writes it (resized) into out. If the stream ends early (e.g. a trailing
+// not-coded packet), the last decodable frame is used instead — matching the
+// permissive behaviour video ingest needs for imperfect tails. Returns 0 on
+// success, -1 when no frame could be decoded at all.
 int decode_to(Reader* r, int64_t target, int out_w, int out_h, uint8_t* out) {
   AVRational tb = r->fmt->streams[r->stream_index]->time_base;
 
@@ -97,6 +116,10 @@ int decode_to(Reader* r, int64_t target, int out_w, int out_h, uint8_t* out) {
   }
 
   int64_t target_pts = r->frames[target].pts;
+  AVFrame* last = av_frame_alloc();
+  bool have_last = false;
+  int result = -1;
+  bool flushed = false;
   while (true) {
     int ret = avcodec_receive_frame(r->dec, r->frame);
     if (ret == 0) {
@@ -111,23 +134,14 @@ int decode_to(Reader* r, int64_t target, int out_w, int out_h, uint8_t* out) {
       r->cursor = idx + 1;
       r->cursor_valid = true;
       if (fpts >= target_pts) {
-        if (r->sws == nullptr || r->sws_w != out_w || r->sws_h != out_h) {
-          if (r->sws) sws_freeContext(r->sws);
-          r->sws = sws_getContext(r->dec->width, r->dec->height,
-                                  (AVPixelFormat)r->frame->format, out_w, out_h,
-                                  AV_PIX_FMT_RGB24, SWS_BICUBIC, nullptr,
-                                  nullptr, nullptr);
-          r->sws_w = out_w;
-          r->sws_h = out_h;
-        }
-        uint8_t* dst[1] = {out};
-        int dst_stride[1] = {out_w * 3};
-        sws_scale(r->sws, r->frame->data, r->frame->linesize, 0,
-                  r->dec->height, dst, dst_stride);
+        scale_out(r, r->frame, out_w, out_h, out);
         av_frame_unref(r->frame);
-        return 0;
+        result = 0;
+        break;
       }
-      av_frame_unref(r->frame);
+      av_frame_unref(last);
+      av_frame_move_ref(last, r->frame);
+      have_last = true;
       continue;
     }
     if (ret == AVERROR(EAGAIN)) {
@@ -136,6 +150,7 @@ int decode_to(Reader* r, int64_t target, int out_w, int out_h, uint8_t* out) {
         pret = av_read_frame(r->fmt, r->pkt);
         if (pret < 0) {
           avcodec_send_packet(r->dec, nullptr);  // flush
+          flushed = true;
           break;
         }
         if (r->pkt->stream_index == r->stream_index) {
@@ -147,8 +162,20 @@ int decode_to(Reader* r, int64_t target, int out_w, int out_h, uint8_t* out) {
       } while (true);
       continue;
     }
-    return -1;  // EOF or error before reaching target
+    // EOF/error: fall back to the last decodable frame if we have one
+    if (have_last) {
+      scale_out(r, last, out_w, out_h, out);
+      result = 0;
+    }
+    break;
   }
+  if (flushed) {
+    // the decoder is in draining state; force a reseek on the next fetch
+    r->cursor_valid = false;
+    avcodec_flush_buffers(r->dec);
+  }
+  av_frame_free(&last);
+  return result;
 }
 
 }  // namespace

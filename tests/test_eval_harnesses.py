@@ -1,0 +1,163 @@
+"""Eval-harness tests: efficiency configs, Inf-Stream-Eval resume/merge/score,
+OVO-Bench reformat + MCQ, LiveSports generate+judge — tiny model, native test
+video, fake judge."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streaming_vlm_tpu.config import StreamConfig, VideoConfig, qwen25_vl_tiny
+from streaming_vlm_tpu.eval import infstream, livesports, ovobench
+from streaming_vlm_tpu.eval.judge import judge_pair, tally
+from streaming_vlm_tpu.eval.mcq import build_mcq_prompt_ids, option_token_ids
+from streaming_vlm_tpu.models.qwen25_vl import model
+from streaming_vlm_tpu.streaming.protocol import FakeTokenizer
+from streaming_vlm_tpu.video import ingest
+
+CFG = qwen25_vl_tiny()
+TOK = CFG.tokens
+FTOK = FakeTokenizer(TOK)
+TINY_VIDEO_CFG = VideoConfig(fps=2.0, video_min_pixels=28 * 28, video_max_pixels=16 * 28 * 28)
+TINY_STREAM = StreamConfig(
+    fps=2.0, chunk_duration=1.0, window_size=2, text_round=2,
+    text_sink=4, text_sliding_window=4, max_tokens_per_chunk=4,
+    kv_capacity=2048, prefill_buckets=(128, 256),
+)
+
+
+@pytest.fixture(scope="module")
+def video_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("evalv") / "clip.mp4")
+    ingest.build_native()
+    ingest.write_test_video(path, w=84, h=56, n_frames=80, fps=10)
+    return path
+
+
+@pytest.fixture(scope="module")
+def params():
+    return model.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+
+
+def fake_judge(prefer: str = "A"):
+    def call(system: str, user: str) -> str:
+        return prefer
+
+    return call
+
+
+def test_judge_double_vote():
+    ab, ba = judge_pair(fake_judge("A"), "ref", "ca", "cb")
+    # AB says A; BA says A (raw) -> flipped to B -> split vote
+    assert (ab, ba) == ("A", "B")
+    assert tally(ab, ba)["winner"] == "equal"
+
+
+def test_infstream_generate_resume_score(video_path, params, tmp_path):
+    meta_path = str(tmp_path / "meta.jsonl")
+    # word stream covering 8 s
+    content = [[i * 0.5, i * 0.5 + 0.5, f"w{i}"] for i in range(16)]  # ends at 8.0
+    with open(meta_path, "w") as f:
+        f.write(json.dumps({"video": video_path, "content": content}) + "\n")
+
+    out_a = str(tmp_path / "a.jsonl")
+    for _ in range(2):  # second run must be a no-op (resume)
+        infstream.generate_segments(
+            cfg=CFG, params=params, tokenizer=FTOK,
+            eval_metadata=meta_path, out_path=out_a,
+            start_time=0, duration=4,
+            stream=TINY_STREAM, video=TINY_VIDEO_CFG, dtype=jnp.float32,
+        )
+    lines = [json.loads(l) for l in open(out_a)]
+    assert len(lines) == 2  # 8 s in two 4 s chunks, not duplicated on resume
+    assert infstream.latest_end_time(out_a, os.path.basename(video_path)) == 8
+
+    merged_a = str(tmp_path / "merged_a.jsonl")
+    infstream.merge_results([out_a], merged_a)
+    merged = [json.loads(l) for l in open(merged_a)]
+    assert len(merged) == 1 and len(merged[0]["items"]) == 8
+
+    scores_path = str(tmp_path / "scores.jsonl")
+    results = infstream.score_segments(
+        merged_a=merged_a, merged_b=merged_a, eval_metadata=meta_path,
+        judge=fake_judge("A"), out_path=scores_path, seg_len=4,
+    )
+    assert len(results) == 2
+    summary = infstream.merge_scores([scores_path])
+    assert summary["total_windows"] == 2
+
+
+def test_ovobench_reformat_and_mcq(video_path, params, tmp_path):
+    raw = [
+        {"id": 1, "task": "CRR", "question": "Is it red?", "ask_time": 0,
+         "video": video_path, "test_info": [{"realtime": 3.0, "type": 1}]},
+        {"id": 2, "task": "REC", "activity": "jump", "video": video_path,
+         "test_info": [{"realtime": 4.0, "count": 2}]},
+        {"id": 3, "task": "SSR", "video": video_path,
+         "test_info": [{"realtime": 2.0, "type": 0, "step": "stir"}]},
+        {"id": 4, "task": "OCR", "question": "What letter?", "realtime": 3.0,
+         "video": video_path, "options": ["x", "y"], "gt": 1},
+    ]
+    raw_path = str(tmp_path / "ovo.json")
+    with open(raw_path, "w") as f:
+        json.dump(raw, f)
+    fmt_path = str(tmp_path / "ovo_mcq.jsonl")
+    n = ovobench.transfer_annotations(raw_path, fmt_path)
+    assert n == 4
+    rows = [json.loads(l) for l in open(fmt_path)]
+    assert rows[0]["answer"] == "Yes" and rows[0]["options"] == ["No", "Yes"]
+    assert rows[1]["answer"] == "2"
+    assert rows[3]["answer"] == "B" and "A. x" in rows[3]["question"]
+
+    results = ovobench.evaluate_ovobench(
+        cfg=CFG, params=params, encode=FTOK,
+        benchmark_path=fmt_path, fps=2.0,
+        video=TINY_VIDEO_CFG,
+        out_path=str(tmp_path / "preds.jsonl"),
+    )
+    assert len(results) == 4
+    ok = [r for r in results if "error" not in r]
+    assert len(ok) == 4, results
+    accs = ovobench.evaluate_results(results)
+    assert "CRR" in accs or "avg_forward" in accs
+
+
+def test_livesports_generate_and_judge(video_path, params, tmp_path):
+    events = [
+        {"event_id": "e1", "video": video_path, "begin": 0.0, "end": 3.0,
+         "preasr_text": "pre words", "event_cc": "baseline text"},
+        {"event_id": "e2", "video": video_path, "begin": 3.0, "end": 6.0,
+         "preasr_text": "", "event_cc": "another baseline"},
+    ]
+    events_path = str(tmp_path / "events.jsonl")
+    with open(events_path, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    pred_dir = str(tmp_path / "preds")
+    written = livesports.generate_commentary(
+        cfg=CFG, params=params, tokenizer=FTOK,
+        events_path=events_path, out_dir=pred_dir,
+        stream=TINY_STREAM, video=TINY_VIDEO_CFG, dtype=jnp.float32,
+    )
+    assert len(written) == 2
+    # idempotent
+    assert livesports.generate_commentary(
+        cfg=CFG, params=params, tokenizer=FTOK,
+        events_path=events_path, out_dir=pred_dir,
+        stream=TINY_STREAM, video=TINY_VIDEO_CFG, dtype=jnp.float32,
+    ) == []
+    def content_judge(system, user):
+        # position-consistent fake: prefer the candidate containing 'baseline'
+        a = user.split("Candidate A:\n")[1].split("\n\nCandidate B:")[0]
+        return "A" if "baseline" in a else "B"
+
+    summary = livesports.judge_events(
+        events_path=events_path, pred_dir=pred_dir,
+        judge=content_judge, out_path=str(tmp_path / "votes.jsonl"),
+    )
+    assert summary["total"] == 2
+    assert summary["wins"]["B"] == 2  # baseline (candidate B) wins both votes
+    assert summary["win_rate_excl_ties"] == 0.0
