@@ -1,0 +1,246 @@
+"""Command-line entry points.
+
+Mirrors the reference's CLIs:
+  serve       — streaming inference over a video (reference inference.py:525-561)
+  efficiency  — configs a-d benchmark (eval/efficiency/efficiency_test.py)
+  soak        — constant-memory / latency-flatness check
+  ovobench    — MCQ eval (eval/ovobench)
+  train       — SFT (train.py + scripts/sft_stage_*.sh)
+
+Usage: python -m streaming_vlm_tpu <command> [args]
+Model loading: --model_path points at a HF Qwen2.5-VL directory (config.json +
+safetensors + tokenizer files).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load_model(model_path: str, dtype_name: str = "bfloat16"):
+    import jax.numpy as jnp
+
+    from .models.convert import load_hf_checkpoint
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    cfg, params = load_hf_checkpoint(model_path, dtype)
+    try:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(model_path)
+    except Exception as e:
+        raise RuntimeError(f"cannot load tokenizer from {model_path}: {e}")
+    return cfg, params, tokenizer, dtype
+
+
+def cmd_serve(argv):
+    p = argparse.ArgumentParser(prog="serve")
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--video_path", required=True)
+    p.add_argument("--output_dir", default=None, help="WebVTT output path")
+    p.add_argument("--pos_mode", default="shrink", choices=["shrink", "append"])
+    p.add_argument("--all_text", action="store_true")
+    p.add_argument("--window_size", type=int, default=16)
+    p.add_argument("--chunk_duration", type=float, default=1.0)
+    p.add_argument("--text_round", type=int, default=16)
+    p.add_argument("--text_sink", type=int, default=512)
+    p.add_argument("--text_sliding_window", type=int, default=512)
+    p.add_argument("--temperature", type=float, default=0.9)
+    p.add_argument("--repetition_penalty", type=float, default=1.05)
+    p.add_argument("--previous_text", default="")
+    p.add_argument("--query", default="Commentate on this match")
+    p.add_argument("--duration", type=float, default=None)
+    p.add_argument("--skip_first_chunk", type=int, default=0)
+    p.add_argument("--kv_capacity", type=int, default=16384)
+    p.add_argument("--recompute", action="store_true")
+    p.add_argument("--emit_json", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    from .config import SamplingConfig, StreamConfig
+    from .serve import streaming_inference
+
+    cfg, params, tokenizer, dtype = load_model(args.model_path)
+    stream = StreamConfig(
+        chunk_duration=args.chunk_duration,
+        window_size=args.window_size,
+        text_round=args.text_round,
+        text_sink=args.text_sink,
+        text_sliding_window=args.text_sliding_window,
+        pos_mode=args.pos_mode,
+        all_text=args.all_text,
+        kv_capacity=args.kv_capacity,
+    )
+    streaming_inference(
+        cfg=cfg,
+        params=params,
+        tokenizer=tokenizer,
+        video_path=args.video_path,
+        output_dir=args.output_dir,
+        stream=stream,
+        sampling=SamplingConfig(
+            temperature=args.temperature, repetition_penalty=args.repetition_penalty
+        ),
+        previous_text=args.previous_text,
+        query=args.query,
+        duration=args.duration,
+        skip_first_chunk=args.skip_first_chunk,
+        quiet=args.quiet,
+        emit_json=args.emit_json,
+        recompute=args.recompute,
+        dtype=dtype,
+    )
+
+
+def cmd_efficiency(argv):
+    p = argparse.ArgumentParser(prog="efficiency")
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--video_path", required=True)
+    p.add_argument("--baseline_mode", default="d", choices=["a", "b", "c", "d"])
+    p.add_argument("--duration", type=float, default=1000.0)
+    p.add_argument("--temperature", type=float, default=0.9)
+    p.add_argument("--pos_mode", default="shrink", choices=["shrink", "append"])
+    p.add_argument("--all_text", action="store_true")
+    p.add_argument("--previous_text", default="")
+    p.add_argument("--output_dir", default="output/efficiency")
+    args = p.parse_args(argv)
+
+    from .eval.efficiency import run_efficiency
+
+    cfg, params, tokenizer, dtype = load_model(args.model_path)
+    run_efficiency(
+        cfg=cfg,
+        params=params,
+        tokenizer=tokenizer,
+        video_path=args.video_path,
+        baseline_mode=args.baseline_mode,
+        duration=args.duration,
+        previous_text=args.previous_text,
+        temperature=args.temperature,
+        pos_mode=args.pos_mode,
+        all_text=args.all_text,
+        output_dir=args.output_dir,
+        model_name=args.model_path,
+        dtype=dtype,
+    )
+
+
+def cmd_soak(argv):
+    p = argparse.ArgumentParser(prog="soak")
+    p.add_argument("--model_path", default=None, help="HF dir; default: random 3B")
+    p.add_argument("--n_chunks", type=int, default=120)
+    p.add_argument("--kv_capacity", type=int, default=12288)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .config import StreamConfig, qwen25_vl_3b
+    from .eval.soak import run_soak
+    from .models.qwen25_vl import model as m
+
+    if args.model_path:
+        cfg, params, tokenizer, dtype = load_model(args.model_path)
+    else:
+        cfg = qwen25_vl_3b()
+        params = m.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        dtype = jnp.bfloat16
+    stream = StreamConfig(kv_capacity=args.kv_capacity, prefill_buckets=(640, 1024))
+    report = run_soak(
+        cfg=cfg,
+        params=params,
+        stream=stream,
+        n_chunks=args.n_chunks,
+        grid=(1, 32, 64),
+        dtype=dtype,
+    )
+    print(report.to_json())
+    assert report.kv_constant, "KV occupancy is not constant in steady state!"
+
+
+def cmd_ovobench(argv):
+    p = argparse.ArgumentParser(prog="ovobench")
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--benchmark_path", required=True, help="formatted MCQ jsonl")
+    p.add_argument("--video_root", default="")
+    p.add_argument("--out_path", default="output/ovobench_preds.jsonl")
+    p.add_argument("--worker", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=1)
+    args = p.parse_args(argv)
+
+    from .eval.ovobench import evaluate_ovobench, evaluate_results
+    from .streaming.protocol import hf_encode_fn
+
+    cfg, params, tokenizer, dtype = load_model(args.model_path)
+    results = evaluate_ovobench(
+        cfg=cfg,
+        params=params,
+        encode=hf_encode_fn(tokenizer),
+        benchmark_path=args.benchmark_path,
+        video_root=args.video_root,
+        out_path=args.out_path,
+        worker=args.worker,
+        num_workers=args.num_workers,
+    )
+    print(json.dumps(evaluate_results(results), indent=2))
+
+
+def cmd_train(argv):
+    p = argparse.ArgumentParser(prog="train")
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--train_annotation_paths", nargs="+", required=True)
+    p.add_argument("--output_dir", default="runs/sft")
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--max_steps", type=int, default=1000)
+    p.add_argument("--grad_accum", type=int, default=64)
+    p.add_argument("--save_steps", type=int, default=20)
+    p.add_argument("--text_sink", type=int, default=512)
+    p.add_argument("--text_sliding_window", type=int, default=512)
+    args = p.parse_args(argv)
+
+    from .data.dataset import StreamDataset
+    from .streaming.protocol import hf_encode_fn
+    from .train.trainer import TrainConfig, Trainer
+
+    cfg, params, tokenizer, dtype = load_model(args.model_path)
+    ds = StreamDataset(
+        args.train_annotation_paths,
+        cfg=cfg,
+        encode=hf_encode_fn(tokenizer),
+        text_sink=args.text_sink,
+        text_sliding_window=args.text_sliding_window,
+    )
+    trainer = Trainer(
+        cfg,
+        params,
+        TrainConfig(
+            output_dir=args.output_dir,
+            learning_rate=args.learning_rate,
+            max_steps=args.max_steps,
+            grad_accum=args.grad_accum,
+            save_steps=args.save_steps,
+        ),
+    )
+    trainer.train(ds)
+
+
+COMMANDS = {
+    "serve": cmd_serve,
+    "efficiency": cmd_efficiency,
+    "soak": cmd_soak,
+    "ovobench": cmd_ovobench,
+    "train": cmd_train,
+}
+
+
+def main():
+    if len(sys.argv) < 2 or sys.argv[1] not in COMMANDS:
+        print(f"usage: python -m streaming_vlm_tpu {{{'|'.join(COMMANDS)}}} [args]")
+        sys.exit(1)
+    COMMANDS[sys.argv[1]](sys.argv[2:])
+
+
+if __name__ == "__main__":
+    main()

@@ -225,6 +225,10 @@ class StreamingEngine:
         C = stream.kv_capacity
         self.k_arena, self.v_arena = language.init_kv_arena(cfg.text, C, dtype)
         self.cached = 0  # arena slots holding valid KV (table prefix)
+        # append mode: per-slot positions are assigned once and never
+        # re-indexed (reference pos_mode='append', model_forward.py:112-153)
+        self._pos_host = np.zeros((3, C), np.float32)
+        self._next_pos = 0.0  # last_cache_position + 1
         # trailing table tokens whose KV is NOT yet in the arena (e.g. the
         # force-appended <|im_end|>); they prefill with the next chunk, like
         # HF's cache-dependent input preparation re-forwards uncached ids
@@ -256,6 +260,9 @@ class StreamingEngine:
             self.k_arena, self.v_arena = compact_arena(
                 self.k_arena, self.v_arena, jnp.asarray(src)
             )
+            if self.stream.pos_mode == "append":
+                # positions travel with their slots; no re-indexing
+                self._pos_host[:, :new_len] = self._pos_host[:, plan.src]
         # the uncached tail is always the newest tokens — still at the end
         self.cached = new_len - self.uncached_tail
 
@@ -308,19 +315,57 @@ class StreamingEngine:
             self.table.append(s)
         self.uncached_tail = 0
 
-        # positions for the whole (post-chunk) table plus the decode tail
-        pos = self._positions()
-        total = pos.shape[1]
-        assert total == self.cached + n_real
-        next_p = float(pos.max()) + 1.0 if total else 0.0
-        decode_pos = np.broadcast_to(
-            np.arange(max_new, dtype=np.float32) + next_p, (3, max_new)
-        )
         C = st.kv_capacity
+        total = self.cached + n_real
+        assert total == self.table.total_len()
         assert total + max_new <= C, "KV arena capacity exceeded"
-        slot_pos = np.zeros((3, C), np.float32)
-        slot_pos[:, :total] = pos
-        slot_pos[:, total : total + max_new] = decode_pos
+
+        if st.pos_mode == "shrink":
+            # contiguous re-index over the whole surviving table every chunk
+            pos = self._positions()
+            next_p = float(pos.max()) + 1.0 if total else 0.0
+            decode_pos = np.broadcast_to(
+                np.arange(max_new, dtype=np.float32) + next_p, (3, max_new)
+            )
+            slot_pos = np.zeros((3, C), np.float32)
+            slot_pos[:, :total] = pos
+            slot_pos[:, total : total + max_new] = decode_pos
+        else:  # append: chunk tokens extend from last_cache_position + 1
+            from ..models.qwen25_vl.rope import (
+                PosSegment,
+                mrope_positions_from_segments,
+            )
+
+            psegs = []
+            if len(tail_ids):
+                psegs.append(PosSegment("text", int(len(tail_ids))))
+            for s in chunk_segs:
+                if s.kind == "vision" and not st.all_text:
+                    psegs.append(
+                        PosSegment(
+                            "video",
+                            len(s),
+                            grid_thw=s.grid_thw,
+                            second_per_grid_t=s.second_per_grid_t,
+                        )
+                    )
+                elif len(s):
+                    psegs.append(PosSegment("text", len(s)))
+            cpos = (
+                mrope_positions_from_segments(
+                    psegs,
+                    spatial_merge_size=self.cfg.vision.spatial_merge_size,
+                    tokens_per_second=self.cfg.vision.tokens_per_second,
+                )
+                + self._next_pos
+            )
+            self._pos_host[:, self.cached : total] = cpos
+            next_p = float(cpos.max()) + 1.0 if n_real else self._next_pos
+            decode_pos = np.broadcast_to(
+                np.arange(max_new, dtype=np.float32) + next_p, (3, max_new)
+            )
+            self._pos_host[:, total : total + max_new] = decode_pos
+            slot_pos = self._pos_host
 
         # vision embeds for this chunk
         vis_slots = None
@@ -372,6 +417,8 @@ class StreamingEngine:
         gen = np.asarray(gen)
         n_gen = int(n_gen)
         self.cached += n_real + n_gen
+        if st.pos_mode == "append":
+            self._next_pos = next_p + n_gen
         gen_real = gen[:n_gen]
         # force-close like the reference (inference.py:456-459); the forced
         # token has no KV yet -> re-forwarded with the next chunk

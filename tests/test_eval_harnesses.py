@@ -161,3 +161,19 @@ def test_livesports_generate_and_judge(video_path, params, tmp_path):
     assert summary["total"] == 2
     assert summary["wins"]["B"] == 2  # baseline (candidate B) wins both votes
     assert summary["win_rate_excl_ties"] == 0.0
+
+
+def test_soak_constant_kv_and_flat_latency(params):
+    from streaming_vlm_tpu.eval.soak import run_soak
+
+    stream = StreamConfig(
+        fps=2.0, chunk_duration=1.0, window_size=3, text_round=3,
+        text_sink=4, text_sliding_window=4, max_tokens_per_chunk=3,
+        kv_capacity=1024, prefill_buckets=(128,),
+    )
+    report = run_soak(
+        cfg=CFG, params=params, stream=stream, n_chunks=12, grid=(1, 4, 4),
+        dtype=jnp.float32,
+    )
+    assert report.kv_constant, report.kv_occupancy
+    assert report.p50_ms > 0

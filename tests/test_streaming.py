@@ -322,3 +322,75 @@ def test_streaming_vision_outlives_text(params):
 
 def test_streaming_text_outlives_vision(params):
     drive(params, n_chunks=7, text_round=4, visual_round=2, sink=4, window=3, max_new=8)
+
+
+def test_append_mode_matches_shrink_without_eviction(params):
+    """With no evictions, append positions == shrink positions, so greedy
+    generations must match exactly."""
+    import dataclasses
+
+    outs = {}
+    for mode in ("shrink", "append"):
+        stream = StreamConfig(
+            text_round=16, window_size=16, chunk_duration=1,
+            text_sink=None, text_sliding_window=None,
+            max_tokens_per_chunk=4, kv_capacity=1024,
+            prefill_buckets=(64, 128, 256), pos_mode=mode,
+        )
+        engine = StreamingEngine(
+            CFG, params, stream, SamplingConfig(do_sample=False), dtype=jnp.float32
+        )
+        builder = PromptBuilder(TOK, FakeTokenizer(TOK))
+        _, eb = builder.measure_biases()
+        rng = np.random.default_rng(3)
+        nv = 4
+        gens = []
+        for i in range(3):
+            pixels = rng.normal(size=(np.prod(GRID), PATCH_DIM)).astype(np.float32) * 0.1
+            segs = []
+            if i == 0:
+                segs.append(builder.system_segment())
+                segs.extend(builder.previous_text_segments("hello prev"))
+                segs.extend(builder.user_turn_segments(0, 0.0, 1.0, nv, GRID, SPGT, query="q"))
+            else:
+                segs.extend(builder.user_turn_segments(i, float(i), float(i + 1), nv, GRID, SPGT))
+            segs.extend(builder.assistant_open_segments(i))
+            g, _ = engine.process_chunk(segs, pixels, GRID)
+            engine.commit_assistant(g, eb, i)
+            gens.append(g.tolist())
+        outs[mode] = gens
+    assert outs["shrink"] == outs["append"]
+
+
+def test_append_mode_positions_grow_after_eviction(params):
+    """Append mode: after evictions, positions keep growing (never re-indexed)."""
+    stream = StreamConfig(
+        text_round=2, window_size=2, chunk_duration=1,
+        text_sink=4, text_sliding_window=3,
+        max_tokens_per_chunk=4, kv_capacity=1024,
+        prefill_buckets=(64, 128, 256), pos_mode="append",
+    )
+    engine = StreamingEngine(
+        CFG, params, stream, SamplingConfig(do_sample=False), dtype=jnp.float32
+    )
+    builder = PromptBuilder(TOK, FakeTokenizer(TOK))
+    _, eb = builder.measure_biases()
+    rng = np.random.default_rng(3)
+    nv = 4
+    next_pos = []
+    for i in range(5):
+        pixels = rng.normal(size=(np.prod(GRID), PATCH_DIM)).astype(np.float32) * 0.1
+        segs = []
+        if i == 0:
+            segs.append(builder.system_segment())
+            segs.extend(builder.previous_text_segments("hello prev"))
+            segs.extend(builder.user_turn_segments(0, 0.0, 1.0, nv, GRID, SPGT, query="q"))
+        else:
+            segs.extend(builder.user_turn_segments(i, float(i), float(i + 1), nv, GRID, SPGT))
+        segs.extend(builder.assistant_open_segments(i))
+        g, _ = engine.process_chunk(segs, pixels, GRID)
+        engine.commit_assistant(g, eb, i)
+        next_pos.append(engine._next_pos)
+    assert all(b > a for a, b in zip(next_pos, next_pos[1:]))
+    # table shrank (eviction happened) while positions kept growing
+    assert engine.table.total_len() < next_pos[-1]
