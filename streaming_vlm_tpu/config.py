@@ -19,7 +19,11 @@ from typing import Optional, Tuple
 
 @dataclasses.dataclass(frozen=True)
 class VisionConfig:
-    """Qwen2.5-VL vision tower configuration."""
+    """Qwen2/2.5-VL vision tower configuration.
+
+    variant='qwen2_5': RMSNorm, SwiGLU MLP, windowed attention with
+    fullatt_block_indexes. variant='qwen2': LayerNorm(+bias), fc1/quick_gelu/
+    fc2 MLP, full (per-temporal-slice) attention in every block."""
 
     depth: int = 32
     hidden_size: int = 1280
@@ -35,6 +39,11 @@ class VisionConfig:
     tokens_per_second: int = 2
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
+    variant: str = "qwen2_5"  # {"qwen2_5", "qwen2"}
+
+    @property
+    def use_windows(self) -> bool:
+        return self.variant == "qwen2_5"
 
     @property
     def head_dim(self) -> int:
@@ -175,10 +184,51 @@ def qwen25_vl_tiny(vocab_size: int = 1024) -> ModelConfig:
     )
 
 
+def qwen2_vl_7b() -> ModelConfig:
+    """Qwen2-VL-7B-Instruct (the reference's Qwen2 patch set,
+    src/streaming_vlm/inference/qwen2/)."""
+    return ModelConfig(
+        name="qwen2_vl_7b",
+        vision=VisionConfig(
+            variant="qwen2",
+            depth=32,
+            hidden_size=1280,
+            intermediate_size=5120,  # mlp_ratio 4
+            num_heads=16,
+            out_hidden_size=3584,
+            tokens_per_second=1,
+        ),
+        text=TextConfig(
+            vocab_size=152064,
+            hidden_size=3584,
+            intermediate_size=18944,
+            num_hidden_layers=28,
+            num_attention_heads=28,
+            num_key_value_heads=4,
+            head_dim=128,
+            tie_word_embeddings=False,
+        ),
+    )
+
+
+def qwen2_vl_tiny(vocab_size: int = 1024) -> ModelConfig:
+    """Tiny Qwen2-VL variant for CPU parity tests."""
+    base = qwen25_vl_tiny(vocab_size)
+    return dataclasses.replace(
+        base,
+        name="qwen2_vl_tiny",
+        vision=dataclasses.replace(
+            base.vision, variant="qwen2", intermediate_size=256, tokens_per_second=1
+        ),
+    )
+
+
 PRESETS = {
     "tiny": qwen25_vl_tiny,
     "3b": qwen25_vl_3b,
     "7b": qwen25_vl_7b,
+    "qwen2_7b": qwen2_vl_7b,
+    "qwen2_tiny": qwen2_vl_tiny,
 }
 
 

@@ -91,29 +91,48 @@ def params_from_state_dict(
         return jnp.asarray(arr, dtype)
 
     patch_w = get("visual.patch_embed.proj.weight")  # [D, C, tps, ps, ps]
+    blocks = {
+        "norm1": stack_vis("visual.blocks.{}.norm1.weight"),
+        "norm2": stack_vis("visual.blocks.{}.norm2.weight"),
+        "qkv_w": stack_vis("visual.blocks.{}.attn.qkv.weight", True),
+        "qkv_b": stack_vis("visual.blocks.{}.attn.qkv.bias"),
+        "proj_w": stack_vis("visual.blocks.{}.attn.proj.weight", True),
+        "proj_b": stack_vis("visual.blocks.{}.attn.proj.bias"),
+    }
+    merger = {
+        "fc1_w": jnp.asarray(get("visual.merger.mlp.0.weight").T, dtype),
+        "fc1_b": jnp.asarray(get("visual.merger.mlp.0.bias"), dtype),
+        "fc2_w": jnp.asarray(get("visual.merger.mlp.2.weight").T, dtype),
+        "fc2_b": jnp.asarray(get("visual.merger.mlp.2.bias"), dtype),
+        "ln_q": jnp.asarray(get("visual.merger.ln_q.weight"), dtype),
+    }
+    if v.variant == "qwen2_5":
+        blocks.update(
+            {
+                "gate_w": stack_vis("visual.blocks.{}.mlp.gate_proj.weight", True),
+                "gate_b": stack_vis("visual.blocks.{}.mlp.gate_proj.bias"),
+                "up_w": stack_vis("visual.blocks.{}.mlp.up_proj.weight", True),
+                "up_b": stack_vis("visual.blocks.{}.mlp.up_proj.bias"),
+                "down_w": stack_vis("visual.blocks.{}.mlp.down_proj.weight", True),
+                "down_b": stack_vis("visual.blocks.{}.mlp.down_proj.bias"),
+            }
+        )
+    else:  # qwen2: LayerNorm biases + fc1/fc2 MLP
+        blocks.update(
+            {
+                "norm1_b": stack_vis("visual.blocks.{}.norm1.bias"),
+                "norm2_b": stack_vis("visual.blocks.{}.norm2.bias"),
+                "fc1_w": stack_vis("visual.blocks.{}.mlp.fc1.weight", True),
+                "fc1_b": stack_vis("visual.blocks.{}.mlp.fc1.bias"),
+                "fc2_w": stack_vis("visual.blocks.{}.mlp.fc2.weight", True),
+                "fc2_b": stack_vis("visual.blocks.{}.mlp.fc2.bias"),
+            }
+        )
+        merger["ln_q_b"] = jnp.asarray(get("visual.merger.ln_q.bias"), dtype)
     visual = {
         "patch_embed": jnp.asarray(patch_w.reshape(patch_w.shape[0], -1).T, dtype),
-        "blocks": {
-            "norm1": stack_vis("visual.blocks.{}.norm1.weight"),
-            "norm2": stack_vis("visual.blocks.{}.norm2.weight"),
-            "qkv_w": stack_vis("visual.blocks.{}.attn.qkv.weight", True),
-            "qkv_b": stack_vis("visual.blocks.{}.attn.qkv.bias"),
-            "proj_w": stack_vis("visual.blocks.{}.attn.proj.weight", True),
-            "proj_b": stack_vis("visual.blocks.{}.attn.proj.bias"),
-            "gate_w": stack_vis("visual.blocks.{}.mlp.gate_proj.weight", True),
-            "gate_b": stack_vis("visual.blocks.{}.mlp.gate_proj.bias"),
-            "up_w": stack_vis("visual.blocks.{}.mlp.up_proj.weight", True),
-            "up_b": stack_vis("visual.blocks.{}.mlp.up_proj.bias"),
-            "down_w": stack_vis("visual.blocks.{}.mlp.down_proj.weight", True),
-            "down_b": stack_vis("visual.blocks.{}.mlp.down_proj.bias"),
-        },
-        "merger": {
-            "ln_q": jnp.asarray(get("visual.merger.ln_q.weight"), dtype),
-            "fc1_w": jnp.asarray(get("visual.merger.mlp.0.weight").T, dtype),
-            "fc1_b": jnp.asarray(get("visual.merger.mlp.0.bias"), dtype),
-            "fc2_w": jnp.asarray(get("visual.merger.mlp.2.weight").T, dtype),
-            "fc2_b": jnp.asarray(get("visual.merger.mlp.2.bias"), dtype),
-        },
+        "blocks": blocks,
+        "merger": merger,
     }
     return {"vision": visual, "text": text}
 
@@ -140,6 +159,7 @@ def config_from_hf_dir(model_dir: str) -> ModelConfig:
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
     vis = hf.get("vision_config", {})
+    is_qwen2 = hf.get("model_type") == "qwen2_vl"
     text_kw = dict(
         vocab_size=hf["vocab_size"],
         hidden_size=hf["hidden_size"],
@@ -154,20 +174,39 @@ def config_from_hf_dir(model_dir: str) -> ModelConfig:
     )
     if hf.get("rope_scaling") and "mrope_section" in hf["rope_scaling"]:
         text_kw["mrope_section"] = tuple(hf["rope_scaling"]["mrope_section"])
-    vis_kw = dict(
-        depth=vis.get("depth", 32),
-        hidden_size=vis.get("hidden_size", 1280),
-        intermediate_size=vis.get("intermediate_size", 3420),
-        num_heads=vis.get("num_heads", 16),
-        window_size=vis.get("window_size", 112),
-        fullatt_block_indexes=tuple(vis.get("fullatt_block_indexes", (7, 15, 23, 31))),
-        spatial_merge_size=vis.get("spatial_merge_size", 2),
-        patch_size=vis.get("patch_size", 14),
-        temporal_patch_size=vis.get("temporal_patch_size", 2),
-        out_hidden_size=vis.get("out_hidden_size", hf["hidden_size"]),
-        tokens_per_second=vis.get("tokens_per_second", 2),
+    if is_qwen2:
+        d = vis.get("embed_dim", 1280)
+        vis_kw = dict(
+            variant="qwen2",
+            depth=vis.get("depth", 32),
+            hidden_size=d,
+            intermediate_size=int(d * vis.get("mlp_ratio", 4)),
+            num_heads=vis.get("num_heads", 16),
+            spatial_merge_size=vis.get("spatial_merge_size", 2),
+            patch_size=vis.get("patch_size", 14),
+            temporal_patch_size=vis.get("temporal_patch_size", 2),
+            out_hidden_size=vis.get("hidden_size", hf["hidden_size"]),
+            tokens_per_second=1,
+        )
+    else:
+        vis_kw = dict(
+            depth=vis.get("depth", 32),
+            hidden_size=vis.get("hidden_size", 1280),
+            intermediate_size=vis.get("intermediate_size", 3420),
+            num_heads=vis.get("num_heads", 16),
+            window_size=vis.get("window_size", 112),
+            fullatt_block_indexes=tuple(vis.get("fullatt_block_indexes", (7, 15, 23, 31))),
+            spatial_merge_size=vis.get("spatial_merge_size", 2),
+            patch_size=vis.get("patch_size", 14),
+            temporal_patch_size=vis.get("temporal_patch_size", 2),
+            out_hidden_size=vis.get("out_hidden_size", hf["hidden_size"]),
+            tokens_per_second=vis.get("tokens_per_second", 2),
+        )
+    return ModelConfig(
+        name="qwen2_vl_hf" if is_qwen2 else "qwen2_5_vl_hf",
+        vision=VisionConfig(**vis_kw),
+        text=TextConfig(**text_kw),
     )
-    return ModelConfig(name="qwen2_5_vl_hf", vision=VisionConfig(**vis_kw), text=TextConfig(**text_kw))
 
 
 def load_hf_checkpoint(model_dir: str, dtype=jnp.bfloat16):

@@ -39,7 +39,7 @@ def _encode_video_jit(cfg: ModelConfig, grid_thw: Tuple[Tuple[int, int, int], ..
     device dispatch."""
     v = cfg.vision
     geo = vision.vision_geometry(
-        grid_thw, v.window_size, v.spatial_merge_size, v.patch_size
+        grid_thw, v.window_size, v.spatial_merge_size, v.patch_size, v.use_windows
     )
     ang = jnp.asarray(vision.vision_rope_angles(geo["pos_ids"], v.head_dim, v.rope_theta))
     patch_perm = jnp.asarray(geo["patch_perm"])

@@ -44,6 +44,7 @@ def vision_geometry(
     window_size: int,
     spatial_merge_size: int,
     patch_size: int,
+    use_windows: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Compute, for a tuple of (t, h, w) grids:
       * pos_ids      [S, 2]  (h, w) rotary position ids per patch token
@@ -105,6 +106,21 @@ def vision_geometry(
     win_seqlens = [s for s in win_seqlens if s > 0]
     win_seg = np.repeat(np.arange(len(win_seqlens)), win_seqlens)
     full_seg_orig = np.repeat(np.arange(len(full_seqlens)), full_seqlens)
+
+    if not use_windows:
+        # qwen2 variant: no window reordering; every block attends within its
+        # temporal slice (the reference's qwen2/vision_forward.py has no
+        # get_window_index)
+        ident_units = np.arange(S // unit, dtype=np.int64)
+        return {
+            "pos_ids": pos_ids.astype(np.int32),
+            "window_index": ident_units.astype(np.int32),
+            "patch_perm": np.arange(S, dtype=np.int32),
+            "win_seg": full_seg_orig.astype(np.int32),
+            "full_seg": full_seg_orig.astype(np.int32),
+            "reverse": ident_units.astype(np.int32),
+            "seq_len": S,
+        }
 
     # reorder pos_ids and full_seg by window_index (acting on merge-units)
     unit_perm = window_index
@@ -177,6 +193,30 @@ def init_vision_params(cfg: VisionConfig, key: jax.Array, dtype=jnp.float32) -> 
     def norm(k, shape, scale=0.02):
         return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
 
+    if cfg.variant == "qwen2_5":
+        mlp = {
+            "gate_w": norm(ks[3], (L, D, I)),
+            "gate_b": jnp.zeros((L, I), dtype),
+            "up_w": norm(ks[4], (L, D, I)),
+            "up_b": jnp.zeros((L, I), dtype),
+            "down_w": norm(ks[5], (L, I, D)),
+            "down_b": jnp.zeros((L, D), dtype),
+        }
+        norm_extra = {}
+        merger_ln = {"ln_q": jnp.ones((D,), dtype)}
+    else:  # qwen2: LayerNorm (bias) + fc1/quick_gelu/fc2
+        mlp = {
+            "fc1_w": norm(ks[3], (L, D, I)),
+            "fc1_b": jnp.zeros((L, I), dtype),
+            "fc2_w": norm(ks[5], (L, I, D)),
+            "fc2_b": jnp.zeros((L, D), dtype),
+        }
+        norm_extra = {
+            "norm1_b": jnp.zeros((L, D), dtype),
+            "norm2_b": jnp.zeros((L, D), dtype),
+        }
+        merger_ln = {"ln_q": jnp.ones((D,), dtype), "ln_q_b": jnp.zeros((D,), dtype)}
+
     return {
         "patch_embed": norm(ks[0], (patch_in, D)),
         "blocks": {
@@ -186,21 +226,30 @@ def init_vision_params(cfg: VisionConfig, key: jax.Array, dtype=jnp.float32) -> 
             "qkv_b": jnp.zeros((L, 3 * D), dtype),
             "proj_w": norm(ks[2], (L, D, D)),
             "proj_b": jnp.zeros((L, D), dtype),
-            "gate_w": norm(ks[3], (L, D, I)),
-            "gate_b": jnp.zeros((L, I), dtype),
-            "up_w": norm(ks[4], (L, D, I)),
-            "up_b": jnp.zeros((L, I), dtype),
-            "down_w": norm(ks[5], (L, I, D)),
-            "down_b": jnp.zeros((L, D), dtype),
+            **mlp,
+            **norm_extra,
         },
         "merger": {
-            "ln_q": jnp.ones((D,), dtype),
+            **merger_ln,
             "fc1_w": norm(ks[6], (merged, merged)),
             "fc1_b": jnp.zeros((merged,), dtype),
             "fc2_w": norm(ks[7], (merged, out)),
             "fc2_b": jnp.zeros((out,), dtype),
         },
     }
+
+
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    x = (x - mu) * jax.lax.rsqrt(var + eps)
+    return (x * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
 
 
 # ---------------------------------------------------------------------------
@@ -254,11 +303,16 @@ def vision_forward(
         is_full[i] = True
     is_full = jnp.asarray(is_full)
 
+    is_25 = cfg.variant == "qwen2_5"
+
     def block(hidden, layer_in):
         lp, full_flag = layer_in
         S = hidden.shape[0]
         mask = jax.lax.cond(full_flag, lambda: full_mask, lambda: win_mask)
-        x = rms_norm(hidden, lp["norm1"], cfg.rms_norm_eps)
+        if is_25:
+            x = rms_norm(hidden, lp["norm1"], cfg.rms_norm_eps)
+        else:
+            x = layer_norm(hidden, lp["norm1"], lp["norm1_b"], cfg.rms_norm_eps)
         qkv = jnp.dot(x, lp["qkv_w"]) + lp["qkv_b"]
         q, k, v = (
             qkv.reshape(S, 3, H, hd).transpose(1, 0, 2, 3)[i] for i in range(3)
@@ -267,17 +321,25 @@ def vision_forward(
         k = apply_rope(k, cos[:, None, :], sin[:, None, :])
         attn = _vision_attention(q, k, v, mask)
         hidden = hidden + jnp.dot(attn, lp["proj_w"]) + lp["proj_b"]
-        x = rms_norm(hidden, lp["norm2"], cfg.rms_norm_eps)
-        g = jnp.dot(x, lp["gate_w"]) + lp["gate_b"]
-        u = jnp.dot(x, lp["up_w"]) + lp["up_b"]
-        mlp = jnp.dot(jax.nn.silu(g) * u, lp["down_w"]) + lp["down_b"]
+        if is_25:
+            x = rms_norm(hidden, lp["norm2"], cfg.rms_norm_eps)
+            g = jnp.dot(x, lp["gate_w"]) + lp["gate_b"]
+            u = jnp.dot(x, lp["up_w"]) + lp["up_b"]
+            mlp = jnp.dot(jax.nn.silu(g) * u, lp["down_w"]) + lp["down_b"]
+        else:
+            x = layer_norm(hidden, lp["norm2"], lp["norm2_b"], cfg.rms_norm_eps)
+            h1 = quick_gelu(jnp.dot(x, lp["fc1_w"]) + lp["fc1_b"])
+            mlp = jnp.dot(h1, lp["fc2_w"]) + lp["fc2_b"]
         return hidden + mlp, None
 
     hidden, _ = jax.lax.scan(block, hidden, (params["blocks"], is_full))
 
-    # merger: RMSNorm then 2-layer MLP over merge-unit groups
+    # merger: norm then 2-layer MLP over merge-unit groups
     mp = params["merger"]
-    x = rms_norm(hidden, mp["ln_q"], cfg.rms_norm_eps)
+    if is_25:
+        x = rms_norm(hidden, mp["ln_q"], cfg.rms_norm_eps)
+    else:
+        x = layer_norm(hidden, mp["ln_q"], mp["ln_q_b"], cfg.rms_norm_eps)
     x = x.reshape(-1, unit * cfg.hidden_size)
     x = jnp.dot(x, mp["fc1_w"]) + mp["fc1_b"]
     x = jax.nn.gelu(x, approximate=False)

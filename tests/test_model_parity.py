@@ -146,3 +146,82 @@ def test_multimodal_parity(hf_model, jax_params):
         )
     )
     np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=2e-3)
+
+
+def test_qwen2_vl_multimodal_parity():
+    """Qwen2-VL (non-2.5) variant: LayerNorm ViT, quick-GELU MLP, no windows."""
+    import torch
+    from transformers import Qwen2VLConfig
+    from transformers.models.qwen2_vl.modeling_qwen2_vl import (
+        Qwen2VLForConditionalGeneration,
+    )
+
+    from streaming_vlm_tpu.config import qwen2_vl_tiny
+
+    cfg2 = qwen2_vl_tiny()
+    t, v = cfg2.text, cfg2.vision
+    hf_cfg = Qwen2VLConfig(
+        vocab_size=t.vocab_size,
+        hidden_size=t.hidden_size,
+        intermediate_size=t.intermediate_size,
+        num_hidden_layers=t.num_hidden_layers,
+        num_attention_heads=t.num_attention_heads,
+        num_key_value_heads=t.num_key_value_heads,
+        rms_norm_eps=t.rms_norm_eps,
+        rope_theta=t.rope_theta,
+        tie_word_embeddings=t.tie_word_embeddings,
+        vision_config=dict(
+            depth=v.depth,
+            embed_dim=v.hidden_size,
+            mlp_ratio=v.intermediate_size / v.hidden_size,
+            num_heads=v.num_heads,
+            in_channels=v.in_channels,
+            patch_size=v.patch_size,
+            temporal_patch_size=v.temporal_patch_size,
+            spatial_merge_size=v.spatial_merge_size,
+            hidden_size=v.out_hidden_size,
+        ),
+        rope_scaling=dict(type="mrope", mrope_section=list(t.mrope_section)),
+        attn_implementation="sdpa",
+    )
+    hf_cfg.image_token_id = cfg2.tokens.image_pad
+    hf_cfg.video_token_id = cfg2.tokens.video_pad
+    hf_cfg.vision_start_token_id = cfg2.tokens.vision_start
+
+    torch.manual_seed(1)
+    m = Qwen2VLForConditionalGeneration(hf_cfg).eval().float()
+    jp = params_from_state_dict(cfg2, m.state_dict(), dtype=jnp.float32)
+
+    grid = (2, 4, 6)
+    S = int(np.prod(grid))
+    n_llm = S // v.spatial_merge_unit
+    patch_dim = v.in_channels * v.temporal_patch_size * v.patch_size**2
+    rng = np.random.default_rng(5)
+    pixels = rng.normal(size=(S, patch_dim)).astype(np.float32)
+    TOK2 = cfg2.tokens
+    ids = np.array(
+        rng.integers(5, 900, size=6).tolist()
+        + [TOK2.vision_start] + [TOK2.video_pad] * n_llm + [TOK2.vision_end]
+        + rng.integers(5, 900, size=4).tolist()
+    )
+
+    with torch.no_grad():
+        out = m(
+            input_ids=torch.tensor(ids)[None],
+            attention_mask=torch.ones(1, len(ids), dtype=torch.long),
+            pixel_values_videos=torch.tensor(pixels),
+            video_grid_thw=torch.tensor([list(grid)]),
+        )
+    hf_logits = out.logits[0].numpy()
+
+    ours = np.asarray(
+        model.forward_full(
+            cfg2,
+            jp,
+            ids,
+            pixel_patches=jnp.asarray(pixels),
+            video_grid_thw=np.array([list(grid)]),
+            second_per_grid_ts=[1.0],
+        )
+    )
+    np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=2e-3)
