@@ -123,11 +123,14 @@ def forward_full(
     pixel_patches: Optional[jnp.ndarray] = None,
     video_grid_thw: Optional[np.ndarray] = None,
     second_per_grid_ts: Optional[np.ndarray] = None,
+    image_grid_thw: Optional[np.ndarray] = None,
 ) -> jnp.ndarray:
     """Offline full-attention forward: returns [T, V] float32 logits.
 
     This is the parity/captioning path (BASELINE config 1) — full causal
-    attention, mRoPE positions computed from the token sequence.
+    attention, mRoPE positions computed from the token sequence. Supply
+    either video grids or image grids with `pixel_patches` holding the
+    concatenated patches in token order.
     """
     ids_np = np.asarray(input_ids).reshape(-1)
     positions, _ = mrope_positions_from_ids(
@@ -136,6 +139,7 @@ def forward_full(
         spatial_merge_size=cfg.vision.spatial_merge_size,
         tokens_per_second=cfg.vision.tokens_per_second,
         second_per_grid_ts=second_per_grid_ts,
+        image_grid_thw=image_grid_thw,
         video_token_id=cfg.tokens.video_pad,
         image_token_id=cfg.tokens.image_pad,
     )
@@ -144,10 +148,14 @@ def forward_full(
     embeds = language.embed_tokens(cfg.text, params["text"], ids)
 
     if pixel_patches is not None:
-        vis = encode_video(
-            cfg, params, pixel_patches, tuple(tuple(int(x) for x in g) for g in video_grid_thw)
+        grids = video_grid_thw if video_grid_thw is not None else image_grid_thw
+        pad_id = (
+            cfg.tokens.video_pad if video_grid_thw is not None else cfg.tokens.image_pad
         )
-        (slots,) = np.nonzero(ids_np == cfg.tokens.video_pad)
+        vis = encode_video(
+            cfg, params, pixel_patches, tuple(tuple(int(x) for x in g) for g in grids)
+        )
+        (slots,) = np.nonzero(ids_np == pad_id)
         embeds = merge_vision_embeds(embeds, vis, jnp.asarray(slots, jnp.int32))
 
     hidden = language.language_forward(

@@ -58,6 +58,11 @@ class ChunkStatics:
     temperature: float
     repetition_penalty: float
     do_sample: bool
+    # LiveCC-style threshold gate on the streaming-eos token (' ...'):
+    # (token_id, base_threshold, step) — the token is suppressed while its
+    # probability <= base + step * decode_step (reference
+    # baselines/livecc/demo/infer.py:10-23)
+    eos_threshold: Optional[Tuple[int, float, float]] = None
 
     def __hash__(self):
         return hash(
@@ -68,6 +73,7 @@ class ChunkStatics:
                 self.temperature,
                 self.repetition_penalty,
                 self.do_sample,
+                self.eos_threshold,
             )
         )
 
@@ -137,6 +143,15 @@ def chunk_step(
     def decode_body(carry, step):
         dk, dv, logits, presence, done, rng = carry
         rng, key = jax.random.split(rng)
+        if statics.eos_threshold is not None:
+            tok_id, base, step_sz = statics.eos_threshold
+            thr = base + step_sz * step.astype(jnp.float32)
+            prob = jax.nn.softmax(logits)[tok_id]
+            logits = jnp.where(
+                (jnp.arange(logits.shape[0]) == tok_id) & (prob <= thr),
+                -jnp.inf,
+                logits,
+            )
         tok = sample_token(
             key,
             logits,
@@ -289,6 +304,8 @@ class StreamingEngine:
         vis_embeds=None,  # precomputed vision embeddings [N_vis, D]
         max_new: Optional[int] = None,
         recompute: bool = False,
+        eos_id: Optional[int] = None,  # stop token (default <|im_end|>)
+        eos_threshold: Optional[Tuple[int, float, float]] = None,
     ) -> Tuple[np.ndarray, int]:
         """Evict, ingest one chunk (text+video segments ending with the
         assistant header), generate up to max_new tokens. Returns
@@ -390,6 +407,7 @@ class StreamingEngine:
         tokens = np.full(t_pad, tkn.pad, np.int32)
         tokens[:n_real] = chunk_ids
 
+        eos = tkn.im_end if eos_id is None else eos_id
         statics = ChunkStatics(
             cfg=self.cfg,
             t_pad=t_pad,
@@ -397,6 +415,7 @@ class StreamingEngine:
             temperature=self.sampling.temperature,
             repetition_penalty=self.sampling.repetition_penalty,
             do_sample=self.sampling.do_sample,
+            eos_threshold=eos_threshold,
         )
         self.rng, key = jax.random.split(self.rng)
         self.k_arena, self.v_arena, gen, n_gen = chunk_step(
@@ -411,7 +430,7 @@ class StreamingEngine:
             jnp.asarray(presence_packed),
             jnp.asarray(self.cached, jnp.int32),
             jnp.asarray(n_real, jnp.int32),
-            jnp.asarray(tkn.im_end, jnp.int32),
+            jnp.asarray(eos, jnp.int32),
             key,
         )
         gen = np.asarray(gen)
@@ -422,8 +441,8 @@ class StreamingEngine:
         gen_real = gen[:n_gen]
         # force-close like the reference (inference.py:456-459); the forced
         # token has no KV yet -> re-forwarded with the next chunk
-        if n_gen == 0 or gen_real[-1] != tkn.im_end:
-            gen_real = np.concatenate([gen_real, [tkn.im_end]]).astype(np.int32)
+        if n_gen == 0 or gen_real[-1] != eos:
+            gen_real = np.concatenate([gen_real, [eos]]).astype(np.int32)
             self.uncached_tail = 1
         self.chunk_index += 1
         return gen_real, len(gen_real)
