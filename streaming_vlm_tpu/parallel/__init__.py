@@ -1,1 +1,1 @@
-from . import mesh  # noqa: F401
+from . import distributed, mesh  # noqa: F401

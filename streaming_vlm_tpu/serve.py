@@ -228,13 +228,16 @@ def streaming_inference(
     responses: List[Dict] = []
     time_results: List[Dict[str, float]] = []
 
-    # prefetch chunk 0
     def read_chunk(i: int):
         s = (i + skip_first_chunk) * stream.chunk_duration
-        patches_grid = src.read_chunk(s, s + stream.chunk_duration)
-        return patches_grid
+        return src.read_chunk(s, s + stream.chunk_duration)
 
-    pending = read_chunk(0) if num_chunks else None
+    # the C++ decode of chunk i+1 overlaps the device compute of chunk i
+    # (the encoder/decoder overlap north star, host side)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    pending = pool.submit(read_chunk, 0) if num_chunks else None
 
     for i in range(num_chunks):
         loop_start = time.perf_counter()
@@ -243,10 +246,12 @@ def streaming_inference(
 
         _t = time.perf_counter()
         try:
-            patches, grid, _pts = pending
+            patches, grid, _pts = pending.result()
         except Exception as e:
             print(f"Error reading chunk {i}: {e}", file=sys.stderr)
             break
+        if i + 1 < num_chunks:
+            pending = pool.submit(read_chunk, i + 1)
         section["VIDEO"] += time.perf_counter() - _t
 
         _t = time.perf_counter()
@@ -264,14 +269,6 @@ def streaming_inference(
         section["GEN"] += time.perf_counter() - _t
 
         _t = time.perf_counter()
-        # prefetch next chunk (host-side decode overlaps nothing here yet;
-        # true pipelining comes from the async uint8 upload path)
-        if i + 1 < num_chunks:
-            try:
-                pending = read_chunk(i + 1)
-            except Exception as e:
-                print(f"Error reading chunk {i+1}: {e}", file=sys.stderr)
-                num_chunks = i + 1
         clean = response[:-4] if response.endswith(" ...") else response
         responses.append(
             {
