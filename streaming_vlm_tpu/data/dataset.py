@@ -204,7 +204,9 @@ class StreamDataset:
         raise FileNotFoundError(path)
 
     # ------------------------------------------------------------------ core
-    def getitem(self, index: int) -> StreamExample:
+    def get_stream(self, index: int):
+        """Load and synthesize one sample's streaming turns.
+        Returns (turns, all_frames [N,H,W,3] u8, previous_text, video_start)."""
         from ..video.ingest import ChunkedVideoSource, select_chunk_frames
 
         conversation = self.load_conversation(index)
@@ -252,6 +254,10 @@ class StreamDataset:
             initial_fps_frames=self.initial_fps_frames,
             streaming_fps_frames=self.streaming_fps_frames,
         )
+        return turns, all_frames, previous_text, video_start
+
+    def getitem(self, index: int) -> StreamExample:
+        turns, all_frames, previous_text, _ = self.get_stream(index)
         return self.build_example(turns, all_frames, previous_text)
 
     def build_example(
@@ -391,3 +397,17 @@ class StreamDataset:
 def data_collator(batch: List[StreamExample]) -> StreamExample:
     assert len(batch) == 1, "batch size must be 1"
     return batch[0]
+
+
+def get_ground_truth(dataset: StreamDataset, index: int) -> List[Dict]:
+    """Per-round ground-truth assistant texts for GT teacher forcing
+    (reference lmm_dataset.py:433-444 + inference.py:483-487)."""
+    turns, _, _, _ = dataset.get_stream(index)
+    return [
+        {
+            "ground_truth": t.assistant_text,
+            "start_time": t.start,
+            "end_time": t.end,
+        }
+        for t in turns
+    ]

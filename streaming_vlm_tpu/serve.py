@@ -322,3 +322,64 @@ def streaming_inference(
     if time_test:
         return responses, time_results
     return responses
+
+
+def streaming_inference_from_dataset(
+    *,
+    cfg: ModelConfig,
+    params: Any,
+    tokenizer,
+    dataset,  # data.dataset.StreamDataset
+    index: int,
+    stream: Optional[StreamConfig] = None,
+    sampling: Optional[SamplingConfig] = None,
+    query: str = DEFAULT_QUERY,
+    use_gt: bool = False,
+    quiet: bool = True,
+    dtype=None,
+) -> List[Dict]:
+    """Dataset-driven streaming inference (the reference's test_data_json mode,
+    inference.py:244-254,333-338): chunks come from the dataset's synthesized
+    turns; with use_gt=True each decoded round is replaced by the ground-truth
+    text (teacher forcing) so cache-policy correctness is isolated from
+    sampling drift."""
+    from .video.ingest import patchify_frames
+
+    stream = stream or StreamConfig()
+    session = StreamingSession(
+        cfg, params, tokenizer, stream=stream, sampling=sampling, query=query, dtype=dtype
+    )
+    turns, all_frames, previous_text, _ = dataset.get_stream(index)
+    session.previous_text = previous_text
+
+    responses: List[Dict] = []
+    ground_truths: List[Dict] = []
+    for i, turn in enumerate(turns):
+        frames = all_frames[turn.frame_indices]
+        pad = (-frames.shape[0]) % cfg.vision.temporal_patch_size
+        if pad:
+            frames = np.concatenate([frames, np.repeat(frames[-1:], pad, 0)])
+        patches, grid = patchify_frames(
+            frames,
+            patch_size=cfg.vision.patch_size,
+            temporal_patch_size=cfg.vision.temporal_patch_size,
+            merge_size=cfg.vision.spatial_merge_size,
+        )
+        forced = None
+        if use_gt:
+            forced = np.asarray(
+                session.builder.encode(turn.assistant_text + "<|im_end|>"), np.int32
+            )
+        response, _ = session.run_chunk(
+            i, turn.start, pixel_patches=patches, grid_thw=grid,
+            forced_response_ids=forced,
+        )
+        if not quiet:
+            print(f"Time={turn.start:.1f}-{turn.end:.1f}s: {response}")
+        responses.append(
+            {"response": response, "start_time": turn.start, "end_time": turn.end}
+        )
+        ground_truths.append(
+            {"ground_truth": turn.assistant_text, "start_time": turn.start, "end_time": turn.end}
+        )
+    return responses, ground_truths

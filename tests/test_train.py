@@ -134,3 +134,33 @@ def test_trainer_runs_and_resumes(annotation, tmp_path):
     tr2 = Trainer(CFG, model.init_params(CFG, jax.random.PRNGKey(1), dtype=jnp.float32), tc)
     tr2.train(ds, resume=True, max_steps=3)
     assert tr2.step == 3
+
+
+def test_dataset_driven_inference_with_gt(annotation):
+    from streaming_vlm_tpu.config import SamplingConfig, StreamConfig
+    from streaming_vlm_tpu.data.dataset import get_ground_truth
+    from streaming_vlm_tpu.serve import streaming_inference_from_dataset
+
+    ds = StreamDataset(
+        [annotation],
+        cfg=CFG,
+        encode=FakeTokenizer(TOK),
+        video=VideoConfig(fps=2.0, video_min_pixels=28 * 28, video_max_pixels=16 * 28 * 28),
+    )
+    gts = get_ground_truth(ds, 0)
+    assert len(gts) == 5 and gts[0]["start_time"] == 0.0
+
+    params = model.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    stream = StreamConfig(
+        fps=2.0, chunk_duration=1.0, window_size=2, text_round=2,
+        text_sink=4, text_sliding_window=4, max_tokens_per_chunk=4,
+        kv_capacity=2048, prefill_buckets=(128, 256),
+    )
+    responses, ground_truths = streaming_inference_from_dataset(
+        cfg=CFG, params=params, tokenizer=FakeTokenizer(TOK),
+        dataset=ds, index=0, stream=stream,
+        sampling=SamplingConfig(do_sample=False),
+        use_gt=True, dtype=jnp.float32,
+    )
+    assert len(responses) == 5
+    assert ground_truths[1]["ground_truth"].endswith(" ...")
