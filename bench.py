@@ -58,7 +58,9 @@ def main():
         text_sink=512,
         text_sliding_window=512,
         max_tokens_per_chunk=20,
-        kv_capacity=12288,
+        # steady-state KV peaks at ~9.8k slots incl. the in-flight chunk;
+        # smallest 512-aligned capacity above that minimises arena traffic
+        kv_capacity=10240,
         prefill_buckets=(640, 1024),
     )
     sampling = SamplingConfig(temperature=0.9, repetition_penalty=1.05, do_sample=True)

@@ -47,6 +47,8 @@ def _encode_video_jit(cfg: ModelConfig, grid_thw: Tuple[Tuple[int, int, int], ..
     win_seg = jnp.asarray(geo["win_seg"])
     full_seg = jnp.asarray(geo["full_seg"])
 
+    uniform_window = int(geo.get("uniform_window", 0))
+
     @jax.jit
     def run(vision_params, pixel_patches):
         return vision.vision_forward(
@@ -58,6 +60,7 @@ def _encode_video_jit(cfg: ModelConfig, grid_thw: Tuple[Tuple[int, int, int], ..
             reverse_unit_perm=reverse,
             win_seg=win_seg,
             full_seg=full_seg,
+            uniform_window=uniform_window,
         )
 
     return run
