@@ -38,14 +38,39 @@ Params = Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
+def positions_from_descriptors(desc: Dict[str, jnp.ndarray], capacity: int) -> jnp.ndarray:
+    """Rebuild the [3, C] mRoPE position tensor on device from the segment
+    descriptor table (SegmentTable.position_descriptors) — ~2 KB shipped per
+    chunk instead of [3, C] float32. Slots beyond the last real segment get
+    garbage positions but are invisible to attention."""
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    sid = jnp.clip(jnp.searchsorted(desc["starts"], slot, side="right") - 1, 0, None)
+    off = slot - desc["starts"][sid]
+    gh = desc["ghs"][sid]
+    gw = desc["gws"][sid]
+    is_vid = desc["kinds"][sid] == 1
+    tstep = desc["tsteps"][sid]
+    base = desc["bases"][sid]
+    offf = off.astype(jnp.float32)
+    t = jnp.where(is_vid, (off // (gh * gw)).astype(jnp.float32) * tstep, offf)
+    h = jnp.where(is_vid, ((off // gw) % gh).astype(jnp.float32), offf)
+    w = jnp.where(is_vid, (off % gw).astype(jnp.float32), offf)
+    return base[None, :] + jnp.stack([t, h, w])
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
 def compact_arena(
     k_arena: jnp.ndarray,  # [L, C, Hkv, hd]
     v_arena: jnp.ndarray,
+    ids_arena: jnp.ndarray,  # [C] int32
     src_idx: jnp.ndarray,  # [C] int32 (padded with anything beyond new_len)
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Gather arena slots: new[:, i] = old[:, src_idx[i]]. One sweep per chunk."""
-    return jnp.take(k_arena, src_idx, axis=1), jnp.take(v_arena, src_idx, axis=1)
+    return (
+        jnp.take(k_arena, src_idx, axis=1),
+        jnp.take(v_arena, src_idx, axis=1),
+        jnp.take(ids_arena, src_idx, axis=0),
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,6 +88,8 @@ class ChunkStatics:
     # probability <= base + step * decode_step (reference
     # baselines/livecc/demo/infer.py:10-23)
     eos_threshold: Optional[Tuple[int, float, float]] = None
+    # positions shipped as a descriptor table (shrink mode) instead of [3, C]
+    use_descriptors: bool = False
 
     def __hash__(self):
         return hash(
@@ -74,11 +101,12 @@ class ChunkStatics:
                 self.repetition_penalty,
                 self.do_sample,
                 self.eos_threshold,
+                self.use_descriptors,
             )
         )
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 8))
 def chunk_step(
     statics: ChunkStatics,
     params: Params,
@@ -88,20 +116,30 @@ def chunk_step(
     tokens: jnp.ndarray,  # [t_pad] int32 (padded)
     vis_embeds: Optional[jnp.ndarray],  # [N_vis, D] or None
     vis_slots: Optional[jnp.ndarray],  # [N_vis] int32 rows within the chunk
-    presence_packed: jnp.ndarray,  # [ceil(V/8)] uint8 (np.packbits, big-endian)
+    ids_arena: jnp.ndarray,  # [C] int32 — token ids per arena slot
     insert_at: jnp.ndarray,  # scalar int32: first arena slot for chunk tokens
     n_real: jnp.ndarray,  # scalar int32: real (unpadded) chunk length
     eos_id: jnp.ndarray,  # scalar int32
     rng: jax.Array,
 ):
-    """Returns (k_arena, v_arena, gen_tokens [max_new], n_gen)."""
+    """Returns (k_arena, v_arena, ids_arena, gen_tokens [max_new], n_gen)."""
     cfg = statics.cfg
     tcfg = cfg.text
+    C = k_arena.shape[1]
 
-    # unpack the repetition-penalty presence bitmask (shipped packed: 8x fewer
-    # host->device bytes)
-    bits = (presence_packed[:, None] >> (7 - jnp.arange(8, dtype=jnp.uint8))) & 1
-    presence = bits.reshape(-1)[: tcfg.vocab_size].astype(jnp.bool_)
+    if statics.use_descriptors:
+        slot_positions = positions_from_descriptors(slot_positions, C)
+
+    # write the chunk's token ids, then build the repetition-penalty presence
+    # mask fully on device (no host-side vocab bitmask upload)
+    ids_arena = jax.lax.dynamic_update_slice(ids_arena, tokens, (insert_at,))
+    valid = jnp.arange(C) < (insert_at + n_real)
+    scatter_ids = jnp.where(valid, ids_arena, tcfg.vocab_size)  # OOB -> dropped
+    presence = (
+        jnp.zeros(tcfg.vocab_size, jnp.bool_)
+        .at[scatter_ids]
+        .set(True, mode="drop")
+    )
 
     embeds = language.embed_tokens(tcfg, params["text"], tokens)
     if vis_embeds is not None:
@@ -200,8 +238,9 @@ def chunk_step(
     )
     k_arena = jax.lax.dynamic_update_slice(k_arena, dk, (0, decode_base, 0, 0))
     v_arena = jax.lax.dynamic_update_slice(v_arena, dv, (0, decode_base, 0, 0))
+    ids_arena = jax.lax.dynamic_update_slice(ids_arena, gen, (decode_base,))
     n_gen = jnp.sum(~was_done)
-    return k_arena, v_arena, gen, n_gen
+    return k_arena, v_arena, ids_arena, gen, n_gen
 
 
 # ---------------------------------------------------------------------------
@@ -239,6 +278,7 @@ class StreamingEngine:
         self.table = SegmentTable(all_text=stream.all_text)
         C = stream.kv_capacity
         self.k_arena, self.v_arena = language.init_kv_arena(cfg.text, C, dtype)
+        self.ids_arena = jnp.zeros((C,), jnp.int32)
         self.cached = 0  # arena slots holding valid KV (table prefix)
         # append mode: per-slot positions are assigned once and never
         # re-indexed (reference pos_mode='append', model_forward.py:112-153)
@@ -272,8 +312,8 @@ class StreamingEngine:
             C = self.stream.kv_capacity
             src = np.zeros(C, np.int32)
             src[:new_len] = plan.src
-            self.k_arena, self.v_arena = compact_arena(
-                self.k_arena, self.v_arena, jnp.asarray(src)
+            self.k_arena, self.v_arena, self.ids_arena = compact_arena(
+                self.k_arena, self.v_arena, self.ids_arena, jnp.asarray(src)
             )
             if self.stream.pos_mode == "append":
                 # positions travel with their slots; no re-indexing
@@ -338,15 +378,15 @@ class StreamingEngine:
         assert total + max_new <= C, "KV arena capacity exceeded"
 
         if st.pos_mode == "shrink":
-            # contiguous re-index over the whole surviving table every chunk
-            pos = self._positions()
-            next_p = float(pos.max()) + 1.0 if total else 0.0
-            decode_pos = np.broadcast_to(
-                np.arange(max_new, dtype=np.float32) + next_p, (3, max_new)
+            # contiguous re-index over the whole surviving table every chunk;
+            # positions rebuilt ON DEVICE from the ~2 KB descriptor table
+            desc, n_segs, tot_full, next_p = self.table.position_descriptors(
+                spatial_merge_size=self.cfg.vision.spatial_merge_size,
+                tokens_per_second=self.cfg.vision.tokens_per_second,
+                extra_text=max_new,
             )
-            slot_pos = np.zeros((3, C), np.float32)
-            slot_pos[:, :total] = pos
-            slot_pos[:, total : total + max_new] = decode_pos
+            assert tot_full == total + max_new
+            slot_pos = {k: jnp.asarray(v) for k, v in desc.items()}
         else:  # append: chunk tokens extend from last_cache_position + 1
             from ..models.qwen25_vl.rope import (
                 PosSegment,
@@ -400,10 +440,6 @@ class StreamingEngine:
             (slots,) = np.nonzero(chunk_ids == tkn.video_pad)
             vis_slots = jnp.asarray(slots, jnp.int32)
 
-        # repetition-penalty presence = all surviving ids + chunk ids
-        presence = np.zeros(self.cfg.text.vocab_size, bool)
-        presence[self.table.token_ids()] = True
-        presence_packed = np.packbits(presence)
         tokens = np.full(t_pad, tkn.pad, np.int32)
         tokens[:n_real] = chunk_ids
 
@@ -416,18 +452,19 @@ class StreamingEngine:
             repetition_penalty=self.sampling.repetition_penalty,
             do_sample=self.sampling.do_sample,
             eos_threshold=eos_threshold,
+            use_descriptors=(st.pos_mode == "shrink"),
         )
         self.rng, key = jax.random.split(self.rng)
-        self.k_arena, self.v_arena, gen, n_gen = chunk_step(
+        self.k_arena, self.v_arena, self.ids_arena, gen, n_gen = chunk_step(
             statics,
             self.params,
             self.k_arena,
             self.v_arena,
-            jnp.asarray(slot_pos),
+            slot_pos if isinstance(slot_pos, dict) else jnp.asarray(slot_pos),
             jnp.asarray(tokens),
             vis_embeds,
             vis_slots,
-            jnp.asarray(presence_packed),
+            self.ids_arena,
             jnp.asarray(self.cached, jnp.int32),
             jnp.asarray(n_real, jnp.int32),
             jnp.asarray(eos, jnp.int32),

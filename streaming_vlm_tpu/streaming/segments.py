@@ -125,6 +125,81 @@ class SegmentTable:
             tokens_per_second=tokens_per_second,
         )
 
+    def position_descriptors(
+        self,
+        *,
+        spatial_merge_size: int,
+        tokens_per_second: float,
+        extra_text: int = 0,
+        max_segs: int = 256,
+    ):
+        """Compact per-segment descriptor table from which the device can
+        rebuild the full [3, C] position tensor (engine ships ~2 KB instead of
+        [3, C] f32). Returns a dict of fixed-size numpy arrays plus
+        (n_segs, total_len, next_pos). `extra_text` appends a virtual text
+        segment (the decode slots)."""
+        starts, bases, kinds, ghs, gws, tsteps = [], [], [], [], [], []
+        acc = 0
+        next_start = 0.0
+        merged: List = []  # coalesce adjacent text segments
+        for s in self.segs:
+            if s.kind == VISION and not self.all_text:
+                merged.append(s)
+            elif merged and isinstance(merged[-1], int):
+                merged[-1] += len(s)
+            else:
+                merged.append(len(s))
+        if extra_text:
+            if merged and isinstance(merged[-1], int):
+                merged[-1] += extra_text
+            else:
+                merged.append(extra_text)
+
+        for item in merged:
+            if isinstance(item, int):
+                if item == 0:
+                    continue
+                starts.append(acc)
+                bases.append(next_start)
+                kinds.append(0)
+                ghs.append(1)
+                gws.append(1)
+                tsteps.append(1.0)
+                acc += item
+                next_start += item
+            else:
+                t, h, w = item.grid_thw
+                gh = h // spatial_merge_size
+                gw = w // spatial_merge_size
+                tstep = item.second_per_grid_t * tokens_per_second
+                starts.append(acc)
+                bases.append(next_start)
+                kinds.append(1)
+                ghs.append(gh)
+                gws.append(gw)
+                tsteps.append(float(tstep))
+                n = t * gh * gw
+                block_max = max((t - 1) * tstep if t > 1 else 0.0, gh - 1, gw - 1)
+                acc += n
+                next_start = next_start + block_max + 1.0
+        n_segs = len(starts)
+        assert n_segs <= max_segs, f"{n_segs} segments exceed max_segs={max_segs}"
+
+        def pad(arr, dtype, fill=0):
+            out = np.full(max_segs, fill, dtype)
+            out[: len(arr)] = arr
+            return out
+
+        desc = {
+            "starts": pad(starts, np.int32, fill=2**30),
+            "bases": pad(bases, np.float32),
+            "kinds": pad(kinds, np.int32),
+            "ghs": pad(ghs, np.int32, fill=1),
+            "gws": pad(gws, np.int32, fill=1),
+            "tsteps": pad(tsteps, np.float32, fill=1.0),
+        }
+        return desc, n_segs, acc, next_start
+
     # ------------------------------------------------------------------ eviction
     def _offsets(self) -> List[int]:
         offs, acc = [], 0
