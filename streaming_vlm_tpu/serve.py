@@ -324,6 +324,83 @@ def streaming_inference(
     return responses
 
 
+def caption_clip(
+    *,
+    cfg: ModelConfig,
+    params: Any,
+    tokenizer,
+    video_path: str,
+    query: str = "Please describe the video.",
+    fps: float = 1.0,
+    max_frames: int = 8,
+    max_new_tokens: int = 128,
+    video: Optional[VideoConfig] = None,
+    greedy: bool = True,
+) -> str:
+    """Offline full-attention captioning of a short clip (BASELINE config 1):
+    read frames at `fps`, one full-attention forward per generated token."""
+    import jax.numpy as jnp
+
+    from .models.qwen25_vl import model as m
+    from .streaming.protocol import hf_encode_fn
+    from .video.ingest import ChunkedVideoSource, patchify_frames, select_chunk_frames
+
+    v = video or VideoConfig(fps=fps)
+    src = ChunkedVideoSource(
+        video_path,
+        fps=fps,
+        max_pixels=v.video_max_pixels,
+        min_pixels=v.video_min_pixels,
+        patch_size=cfg.vision.patch_size,
+        temporal_patch_size=cfg.vision.temporal_patch_size,
+        merge_size=cfg.vision.spatial_merge_size,
+    )
+    idxs, _ = select_chunk_frames(
+        src.reader.frame_ts[:, 1], None, None, fps=fps,
+        frame_factor=cfg.vision.temporal_patch_size, max_frames=max_frames,
+    )
+    frames = src.reader.fetch(idxs[:max_frames], src.out_w, src.out_h)
+    patches, grid = patchify_frames(
+        frames,
+        patch_size=cfg.vision.patch_size,
+        temporal_patch_size=cfg.vision.temporal_patch_size,
+        merge_size=cfg.vision.spatial_merge_size,
+    )
+    n_vid = patches.shape[0] // cfg.vision.spatial_merge_unit
+
+    encode = (
+        hf_encode_fn(tokenizer)
+        if hasattr(tokenizer, "convert_tokens_to_ids")
+        else tokenizer
+    )
+    prompt = (
+        "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+        f"<|im_start|>user\n<|vision_start|>{'<|video_pad|>' * n_vid}<|vision_end|>"
+        f"{query}<|im_end|>\n<|im_start|>assistant\n"
+    )
+    ids = np.asarray(encode(prompt), np.int32)
+    out: List[int] = []
+    for _ in range(max_new_tokens):
+        logits = np.asarray(
+            m.forward_full(
+                cfg,
+                params,
+                ids,
+                pixel_patches=jnp.asarray(patches),
+                video_grid_thw=np.array([list(grid)]),
+                second_per_grid_ts=[2.0 / fps],
+            )
+        )[-1]
+        nxt = int(np.argmax(logits))
+        if nxt == cfg.tokens.im_end:
+            break
+        out.append(nxt)
+        ids = np.concatenate([ids, [nxt]]).astype(np.int32)
+    if hasattr(tokenizer, "decode"):
+        return tokenizer.decode(out, skip_special_tokens=True)
+    return " ".join(str(t) for t in out)
+
+
 def streaming_inference_from_dataset(
     *,
     cfg: ModelConfig,

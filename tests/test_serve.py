@@ -106,3 +106,22 @@ def test_gt_teacher_forcing(video_path):
         dtype=jnp.float32,
     )
     assert len(responses) == 3
+
+
+def test_caption_clip_offline(video_path):
+    """BASELINE config 1: offline full-attention captioning, CPU-runnable."""
+    from streaming_vlm_tpu.serve import caption_clip
+
+    params = model.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    out = caption_clip(
+        cfg=CFG,
+        params=params,
+        tokenizer=FakeTokenizer(CFG.tokens),
+        video_path=video_path,
+        query="describe",
+        fps=1.0,
+        max_frames=8,
+        max_new_tokens=4,
+        video=VideoConfig(fps=1.0, video_min_pixels=28 * 28, video_max_pixels=16 * 28 * 28),
+    )
+    assert isinstance(out, str) and len(out) > 0
