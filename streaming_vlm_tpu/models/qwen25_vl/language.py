@@ -127,8 +127,11 @@ def _gqa_attention_multi(
     kv_parts,  # list of (k [S_p, Hkv, hd] rotated, v [S_p, Hkv, hd], mask [T, S_p])
 ) -> jnp.ndarray:
     """GQA attention over several read-only KV sources with a joint softmax.
-    Logit blocks per source are concatenated along the key axis — the arena is
-    never copied or rebuilt, only read."""
+
+    The softmax is computed blockwise with a shared row max (never
+    concatenating the per-source logit blocks — at C=10k that concat would
+    cost ~0.5 GB of extra HBM traffic per layer). Numerically identical to a
+    softmax over the concatenated keys."""
     T, H, hd = q.shape
     Hkv = kv_parts[0][0].shape[1]
     G = H // Hkv
@@ -139,15 +142,19 @@ def _gqa_attention_multi(
         lg = jnp.einsum("tkgd,skd->kgts", qg, k, preferred_element_type=jnp.float32)
         lg = jnp.where(mask[None, None, :, :], lg * scale, NEG_INF)
         logit_blocks.append(lg)
-    logits = jnp.concatenate(logit_blocks, axis=-1)
-    probs = jax.nn.softmax(logits, axis=-1)
-    outs = []
-    off = 0
-    for k, v, mask in kv_parts:
-        p = probs[..., off : off + k.shape[0]].astype(v.dtype)
-        outs.append(jnp.einsum("kgts,skd->tkgd", p, v))
-        off += k.shape[0]
-    out = sum(outs)
+    m = logit_blocks[0].max(axis=-1, keepdims=True)
+    for lg in logit_blocks[1:]:
+        m = jnp.maximum(m, lg.max(axis=-1, keepdims=True))
+    denom = None
+    out = None
+    for lg, (k, v, mask) in zip(logit_blocks, kv_parts):
+        e = jnp.exp(lg - m)
+        s = e.sum(axis=-1, keepdims=True)
+        o = jnp.einsum("kgts,skd->tkgd", e.astype(v.dtype), v)
+        denom = s if denom is None else denom + s
+        out = o if out is None else out + o
+    inv = (1.0 / denom).astype(out.dtype)  # [Hkv, G, T, 1]
+    out = out * inv.transpose(2, 0, 1, 3)
     return out.reshape(T, H * hd)
 
 
