@@ -96,7 +96,13 @@ def run_soak(
         engine.commit_assistant(gen, end_bias, i)
         kv_occ.append(engine.cached)
 
-    steady_start = max(stream.visual_round, stream.text_round) + 2
+    # true steady state starts once BOTH the round windows AND the
+    # previous-text sink/sliding-window region have filled (the latter grows
+    # by ~(gen-len - tail) relocated tokens per round); use the last third of
+    # the run, but no earlier than the round windows
+    steady_start = max(
+        max(stream.visual_round, stream.text_round) + 2, 2 * n_chunks // 3
+    )
     steady_kv = kv_occ[steady_start:]
     steady_t = np.asarray(times[steady_start:])
     # KV occupancy varies only by generation-length jitter (<= max_new) plus
