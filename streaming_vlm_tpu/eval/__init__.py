@@ -1,1 +1,1 @@
-from . import efficiency, infstream, judge, livesports, mcq, ovobench  # noqa: F401
+from . import efficiency, gpt_competitor, infstream, judge, livesports, mcq, ovobench, soak, vqa  # noqa: F401

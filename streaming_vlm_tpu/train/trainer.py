@@ -99,6 +99,17 @@ class Trainer:
         self._metrics_f = open(
             os.path.join(train_cfg.output_dir, "metrics.jsonl"), "a"
         )
+        # optional W&B mirror of the metrics stream (reference report_to=wandb,
+        # sft_stage_1.sh:22-26); gated on install + WANDB_PROJECT
+        self._wandb = None
+        if os.environ.get("WANDB_PROJECT"):
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(project=os.environ["WANDB_PROJECT"], resume="allow")
+            except Exception:
+                self._wandb = None
 
     # ------------------------------------------------------------------ step
     def _train_step(self, text_params, opt_state, vision_params, batch):
@@ -192,6 +203,8 @@ class Trainer:
                 }
                 self._metrics_f.write(json.dumps(rec) + "\n")
                 self._metrics_f.flush()
+                if self._wandb:
+                    self._wandb.log(rec, step=self.step)
             if self.step % self.tc.save_steps == 0:
                 self.params = {"text": text_params, "vision": self._vision_params}
                 self.opt_state = opt_state

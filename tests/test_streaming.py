@@ -394,3 +394,74 @@ def test_append_mode_positions_grow_after_eviction(params):
     assert all(b > a for a, b in zip(next_pos, next_pos[1:]))
     # table shrank (eviction happened) while positions kept growing
     assert engine.table.total_len() < next_pos[-1]
+
+
+def test_recompute_mode_matches_full_forward(params):
+    """Config (c): recompute=True drops the cache every chunk and re-prefases
+    the whole surviving window — generations must equal a naive oracle that
+    runs forward_full over the surviving ids (+ all surviving videos) for
+    every decoded token."""
+    stream = StreamConfig(
+        text_round=2, window_size=2, chunk_duration=1,
+        text_sink=None, text_sliding_window=None,
+        max_tokens_per_chunk=4, kv_capacity=1024,
+        prefill_buckets=(64, 128, 256, 512),
+    )
+    engine = StreamingEngine(
+        CFG, params, stream, SamplingConfig(do_sample=False, repetition_penalty=1.05),
+        dtype=jnp.float32,
+    )
+    builder = PromptBuilder(TOK, FakeTokenizer(TOK))
+    _, eb = builder.measure_biases()
+    rng = np.random.default_rng(3)
+    nv = 4
+    recent = []  # surviving (pixels, grid), engine-side recompute bookkeeping
+
+    for i in range(4):
+        pixels = rng.normal(size=(np.prod(GRID), PATCH_DIM)).astype(np.float32) * 0.1
+        segs = []
+        if i == 0:
+            segs.append(builder.system_segment())
+            segs.extend(builder.previous_text_segments("hello prev"))
+            segs.extend(builder.user_turn_segments(0, 0.0, 1.0, nv, GRID, SPGT, query="q"))
+        else:
+            segs.extend(builder.user_turn_segments(i, float(i), float(i + 1), nv, GRID, SPGT))
+        segs.extend(builder.assistant_open_segments(i))
+
+        recent.append(pixels)
+        recent = recent[-stream.visual_round :]
+        vis = jnp.concatenate(
+            [model.encode_video(CFG, params, jnp.asarray(p), (GRID,)) for p in recent]
+        )
+        gen_e, _ = engine.process_chunk(
+            segs, grid_thw=GRID, vis_embeds=vis, recompute=True
+        )
+        engine.commit_assistant(gen_e, eb, i)
+
+        # oracle: table ids minus this round's generated suffix
+        ids_full = engine.table.token_ids()
+        n_gen = len(gen_e)
+        base_ids = ids_full[: len(ids_full) - n_gen]
+        grids = np.array([list(GRID)] * len(recent))
+        pix = jnp.asarray(np.concatenate(recent))
+        out = []
+        cur = base_ids
+        for _ in range(stream.max_tokens_per_chunk):
+            logits = np.asarray(
+                model.forward_full(
+                    CFG, params, cur, pixel_patches=pix,
+                    video_grid_thw=grids, second_per_grid_ts=[SPGT] * len(recent),
+                )
+            )[-1]
+            presence = np.zeros(CFG.text.vocab_size, bool)
+            presence[cur] = True
+            scores = np.where(logits > 0, logits / 1.05, logits * 1.05)
+            scores = np.where(presence, scores, logits)
+            tok = int(np.argmax(scores))
+            out.append(tok)
+            cur = np.concatenate([cur, [tok]]).astype(np.int32)
+            if tok == TOK.im_end:
+                break
+        if out[-1] != TOK.im_end:
+            out.append(TOK.im_end)
+        assert gen_e.tolist() == out, f"chunk {i}: {gen_e.tolist()} vs {out}"
