@@ -102,26 +102,6 @@ def init_language_params(
 # ---------------------------------------------------------------------------
 
 
-def _gqa_attention(
-    q: jnp.ndarray,  # [T, H, hd] (rotated)
-    k: jnp.ndarray,  # [S, Hkv, hd] (rotated)
-    v: jnp.ndarray,  # [S, Hkv, hd]
-    mask: jnp.ndarray,  # [T, S] bool — True = attend
-) -> jnp.ndarray:
-    T, H, hd = q.shape
-    S, Hkv, _ = k.shape
-    G = H // Hkv
-    scale = 1.0 / np.sqrt(hd)
-    qg = q.reshape(T, Hkv, G, hd)
-    logits = jnp.einsum(
-        "tkgd,skd->kgts", qg, k, preferred_element_type=jnp.float32
-    ) * scale
-    logits = jnp.where(mask[None, None, :, :], logits, NEG_INF)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("kgts,skd->tkgd", probs, v)
-    return out.reshape(T, H * hd)
-
-
 def _gqa_attention_multi(
     q: jnp.ndarray,  # [T, H, hd] (rotated)
     kv_parts,  # list of (k [S_p, Hkv, hd] rotated, v [S_p, Hkv, hd], mask [T, S_p])
@@ -263,13 +243,14 @@ def language_forward_streaming(
         self_mask = jnp.tril(jnp.ones((T, T), bool))
 
     if use_pallas is None:
-        # Opt-in for now: the flash kernel is correct (tests) but on v5e the
-        # XLA-fused jnp path is currently faster for these shapes; revisit
-        # after kernel tuning (see ops/attention.py).
+        # Default ON for TPU prefill: in-graph (inside the layer scan) the
+        # flash kernel beats the XLA-fused path end-to-end (4.98 vs 4.65
+        # ingest FPS on v5e-1); standalone-dispatch microbenchmarks are
+        # misleading on this runtime. SVT_USE_PALLAS_ATTN=0 disables.
         import os
 
         use_pallas = (
-            os.environ.get("SVT_USE_PALLAS_ATTN") == "1"
+            os.environ.get("SVT_USE_PALLAS_ATTN", "1") != "0"
             and jax.default_backend() in ("tpu", "axon")
             and extra is None
             and T >= 64
@@ -277,6 +258,9 @@ def language_forward_streaming(
             and C % 512 == 0
         )
     if use_pallas and extra is None:
+        # NOTE: the kernel hard-codes a causal self mask; callers with custom
+        # self_mask must pass use_pallas=False (the engine only customises the
+        # mask on the decode/extra path, which never reaches here)
         from ...ops.attention import streaming_prefill_attention
 
         H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim

@@ -45,7 +45,7 @@ class PromptBuilder:
     (<|im_start|> etc.) to their single ids, like a HF tokenizer with
     special-token parsing enabled."""
 
-    def __init__(self, tokens: SpecialTokens, encode: EncodeFn, *, video_token_str: str = "<|video_pad|>"):
+    def __init__(self, tokens: SpecialTokens, encode: EncodeFn):
         self.tok = tokens
         self.encode = encode
 
