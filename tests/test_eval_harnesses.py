@@ -177,3 +177,24 @@ def test_soak_constant_kv_and_flat_latency(params):
     )
     assert report.kv_constant, report.kv_occupancy
     assert report.p50_ms > 0
+
+
+@pytest.mark.parametrize("mode", ["a", "b", "c", "d"])
+def test_efficiency_configs_end_to_end(video_path, params, tmp_path, mode):
+    from streaming_vlm_tpu.eval.efficiency import run_efficiency
+
+    payload = run_efficiency(
+        cfg=CFG, params=params, tokenizer=FTOK,
+        video_path=video_path, baseline_mode=mode, duration=3.0,
+        output_dir=str(tmp_path / "eff"),
+        stream_overrides=dict(
+            kv_capacity=2048, prefill_buckets=(128, 256, 512),
+            max_tokens_per_chunk=3,
+        ),
+        video=TINY_VIDEO_CFG, dtype=jnp.float32,
+    )
+    assert payload["summary"]["num_chunks"] == 3
+    assert payload["meta"]["recompute"] == (mode == "c")
+    for rec in payload["per_chunk"]:
+        assert rec["decoded_tokens"] >= 1
+        assert rec["gen_time_per_token"] is not None
