@@ -78,6 +78,7 @@ class LiveCCInfer:
         self.streaming_eos_id = encode(" ...")[-1]
         self.query = query
         self.round = 0
+        self._elapsed_frames = 0
 
     def commentate(
         self, frames_u8: np.ndarray, grid: Tuple[int, int, int], decode_fn=None
@@ -86,8 +87,13 @@ class LiveCCInfer:
         ' ...' streaming-eos (threshold-gated) or max_new_tokens."""
         merge = self.cfg.vision.spatial_merge_size
         n_vid = grid[0] * (grid[1] // merge) * (grid[2] // merge)
-        t0 = self.round * self.lc.streaming_fps_frames / self.lc.fps
-        t1 = t0 + grid[0] * self.cfg.vision.temporal_patch_size / self.lc.fps
+        # Time= labels track ELAPSED frames: round 0 consumes
+        # initial_fps_frames, later rounds streaming_fps_frames each
+        # (reference demo/infer.py round accounting)
+        t0 = self._elapsed_frames / self.lc.fps
+        n_clip_frames = grid[0] * self.cfg.vision.temporal_patch_size
+        t1 = t0 + n_clip_frames / self.lc.fps
+        self._elapsed_frames += n_clip_frames
         segs = []
         if self.round == 0:
             segs.append(self.builder.system_segment())

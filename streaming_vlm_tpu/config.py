@@ -246,8 +246,14 @@ class StreamConfig:
     max_tokens_per_chunk: int = 20
     pos_mode: str = "shrink"  # {"shrink", "append"}
     all_text: bool = False  # 1-D RoPE for everything (LiveCC compat)
-    kv_capacity: int = 8192  # static arena capacity (slots)
-    prefill_buckets: Tuple[int, ...] = (64, 128, 256, 512, 1024, 2048, 4096)
+    # Static arena capacity (slots). The default operating point saturates at
+    # ~9,985 live slots (measured: SOAK_TPU.json) plus in-flight chunk padding;
+    # 10240 is the smallest 512-aligned capacity that survives indefinitely.
+    kv_capacity: int = 10240
+    # 640 bucket: the default operating point's chunk (512 video tokens +
+    # ~20 scaffold) must NOT pad to 1024 — at KV saturation (~9,430 slots
+    # post-evict) a 1024-padded prefill block would not fit the arena
+    prefill_buckets: Tuple[int, ...] = (64, 128, 256, 512, 640, 1024, 2048, 4096)
 
     @property
     def visual_round(self) -> int:

@@ -91,19 +91,9 @@ class ChunkStatics:
     # positions shipped as a descriptor table (shrink mode) instead of [3, C]
     use_descriptors: bool = False
 
-    def __hash__(self):
-        return hash(
-            (
-                id(self.cfg),
-                self.t_pad,
-                self.max_new,
-                self.temperature,
-                self.repetition_penalty,
-                self.do_sample,
-                self.eos_threshold,
-                self.use_descriptors,
-            )
-        )
+    # NOTE: the frozen-dataclass __hash__ hashes cfg by VALUE (ModelConfig is a
+    # frozen dataclass tree), matching __eq__ — two value-equal statics built
+    # from distinct cfg objects (e.g. reloaded) hit the same jit cache entry.
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 8))
@@ -252,7 +242,12 @@ def _bucket(n: int, buckets) -> int:
     for b in buckets:
         if n <= b:
             return b
-    raise ValueError(f"chunk of {n} tokens exceeds the largest bucket {buckets[-1]}")
+    raise ValueError(
+        f"chunk of {n} tokens exceeds the largest prefill bucket "
+        f"{buckets[-1]}. Fix: add a bucket >= {n} to "
+        f"StreamConfig.prefill_buckets (each bucket compiles its own "
+        f"chunk_step executable), or split the chunk."
+    )
 
 
 class StreamingEngine:
@@ -375,7 +370,21 @@ class StreamingEngine:
         C = st.kv_capacity
         total = self.cached + n_real
         assert total == self.table.total_len()
-        assert total + max_new <= C, "KV arena capacity exceeded"
+        # chunk_step writes t_pad rows at insert_at=cached (the padded prefill
+        # block) and max_new rows at cached+n_real (the decode delta); BOTH
+        # high-water marks must fit or dynamic_update_slice would clamp the
+        # start index and silently overwrite valid cached KV misaligned.
+        high_water = max(self.cached + t_pad, total + max_new)
+        if high_water > C:
+            raise ValueError(
+                f"KV arena capacity exceeded: need {high_water} slots "
+                f"(cached={self.cached}, chunk={n_real} padded to bucket "
+                f"{t_pad}, max_new={max_new}) but kv_capacity={C}. Fix: raise "
+                f"StreamConfig.kv_capacity to >= {high_water} (round up to a "
+                f"multiple of 512), or lower window_size/text_round/"
+                f"text_sink/text_sliding_window so fewer tokens survive "
+                f"eviction, or add a smaller prefill bucket."
+            )
 
         if st.pos_mode == "shrink":
             # contiguous re-index over the whole surviving table every chunk;

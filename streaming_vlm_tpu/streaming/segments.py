@@ -131,7 +131,7 @@ class SegmentTable:
         spatial_merge_size: int,
         tokens_per_second: float,
         extra_text: int = 0,
-        max_segs: int = 256,
+        max_segs: Optional[int] = None,
     ):
         """Compact per-segment descriptor table from which the device can
         rebuild the full [3, C] position tensor (engine ships ~2 KB instead of
@@ -183,7 +183,19 @@ class SegmentTable:
                 acc += n
                 next_start = next_start + block_max + 1.0
         n_segs = len(starts)
-        assert n_segs <= max_segs, f"{n_segs} segments exceed max_segs={max_segs}"
+        if max_segs is None:
+            # auto-size to the next power-of-two bucket (min 256) so unbounded
+            # configs — e.g. the full-attention ablation, which accumulates
+            # segments for the whole stream — never trip a fixed cap; shape
+            # changes recompile O(log n_segs) times over a stream's lifetime
+            max_segs = 256
+            while max_segs < n_segs:
+                max_segs *= 2
+        if n_segs > max_segs:
+            raise ValueError(
+                f"{n_segs} descriptor segments exceed max_segs={max_segs}; "
+                f"pass max_segs=None to auto-size"
+            )
 
         def pad(arr, dtype, fill=0):
             out = np.full(max_segs, fill, dtype)

@@ -90,6 +90,10 @@ class Trainer:
         )
         self.optimizer = optax.MultiSteps(base_opt, train_cfg.grad_accum)
         self.opt_state = self.optimizer.init(params["text"])
+        # self.step counts MICRO-batches; max_steps / save_steps / the LR
+        # schedule are framed in OPTIMIZER steps (one per grad_accum
+        # micro-batches), matching the reference recipe where HF Trainer
+        # counts optimizer steps (sft_stage_1.sh: grad-accum 64, save_steps 20)
         self.step = 0
         self.mesh = mesh
         self._jit_step = jax.jit(self._train_step, donate_argnums=(0, 1))
@@ -183,7 +187,8 @@ class Trainer:
 
         text_params = self.params["text"]
         opt_state = self.opt_state
-        while self.step < max_steps:
+        ga = max(self.tc.grad_accum, 1)
+        while self.step // ga < max_steps:
             ex = dataset[int(order[di % len(order)])]
             di += 1
             batch = self._prepare_batch(ex)
@@ -193,9 +198,11 @@ class Trainer:
             )
             loss = float(metrics["loss"])
             self.step += 1
+            opt_boundary = self.step % ga == 0
             if self.step % self.tc.log_every == 0:
                 rec = {
                     "step": self.step,
+                    "opt_step": self.step // ga,
                     "loss": loss,
                     "labeled_tokens": int(metrics["labeled_tokens"]),
                     "grad_norm": float(metrics["grad_norm"]),
@@ -205,7 +212,9 @@ class Trainer:
                 self._metrics_f.flush()
                 if self._wandb:
                     self._wandb.log(rec, step=self.step)
-            if self.step % self.tc.save_steps == 0:
+            # save every save_steps OPTIMIZER steps (at accumulation
+            # boundaries only, so resumed runs never replay partial updates)
+            if opt_boundary and (self.step // ga) % self.tc.save_steps == 0:
                 self.params = {"text": text_params, "vision": self._vision_params}
                 self.opt_state = opt_state
                 self.save_checkpoint()
