@@ -91,8 +91,17 @@ class StreamingSession:
         grid_thw=None,
         pixel_patches=None,
         forced_response_ids: Optional[np.ndarray] = None,
+        question: str = "",
+        timer=None,  # utils.profiling.SectionTimer
     ) -> Tuple[str, np.ndarray]:
-        """Ingest chunk i and generate. Returns (response text, generated ids)."""
+        """Ingest chunk i and generate. Returns (response text, generated ids).
+        `question` is a mid-stream qa_stream injection appended to the Time
+        text (reference lmm_dataset.py:227-237)."""
+        import contextlib
+
+        def sec(name):
+            return timer.section(name) if timer else contextlib.nullcontext()
+
         st = self.stream
         spgt = 2.0 / st.fps  # reference pos_emb.py:104
         end_time = start_time + st.chunk_duration
@@ -102,23 +111,25 @@ class StreamingSession:
             * (int(grid_thw[2]) // self.cfg.vision.spatial_merge_size)
         )
 
-        segs = []
-        if i == 0:
-            segs.append(self.builder.system_segment())
-            segs.extend(self.builder.previous_text_segments(self.previous_text))
-            segs.extend(
-                self.builder.user_turn_segments(
-                    0, start_time, end_time, n_vid_tokens, tuple(grid_thw), spgt,
-                    query=self.query,
+        with sec("INPUT"):
+            segs = []
+            if i == 0:
+                segs.append(self.builder.system_segment())
+                segs.extend(self.builder.previous_text_segments(self.previous_text))
+                segs.extend(
+                    self.builder.user_turn_segments(
+                        0, start_time, end_time, n_vid_tokens, tuple(grid_thw), spgt,
+                        query=self.query, question=question,
+                    )
                 )
-            )
-        else:
-            segs.extend(
-                self.builder.user_turn_segments(
-                    i, start_time, end_time, n_vid_tokens, tuple(grid_thw), spgt
+            else:
+                segs.extend(
+                    self.builder.user_turn_segments(
+                        i, start_time, end_time, n_vid_tokens, tuple(grid_thw), spgt,
+                        question=question,
+                    )
                 )
-            )
-        segs.extend(self.builder.assistant_open_segments(i))
+            segs.extend(self.builder.assistant_open_segments(i))
 
         vis_embeds = None
         if self.recompute:
@@ -128,16 +139,19 @@ class StreamingSession:
 
             from .models.qwen25_vl import model as _model
 
-            self._recent_videos.append((pixel_patches, tuple(int(x) for x in grid_thw)))
-            keep = self.stream.visual_round
-            self._recent_videos = self._recent_videos[-keep:]
-            parts = [
-                _model.encode_video(
-                    self.cfg, self.engine.params, jnp.asarray(p, self.engine.dtype), (g,)
+            with sec("GEN"):
+                self._recent_videos.append(
+                    (pixel_patches, tuple(int(x) for x in grid_thw))
                 )
-                for p, g in self._recent_videos
-            ]
-            vis_embeds = jnp.concatenate(parts, axis=0)
+                keep = self.stream.visual_round
+                self._recent_videos = self._recent_videos[-keep:]
+                parts = [
+                    _model.encode_video(
+                        self.cfg, self.engine.params, jnp.asarray(p, self.engine.dtype), (g,)
+                    )
+                    for p, g in self._recent_videos
+                ]
+                vis_embeds = jnp.concatenate(parts, axis=0)
             pixel_patches = None
             frames_u8 = None
 
@@ -148,6 +162,7 @@ class StreamingSession:
             frames_u8=frames_u8,
             vis_embeds=vis_embeds,
             recompute=self.recompute,
+            timer=timer,
         )
         if forced_response_ids is not None:
             # ground-truth teacher forcing (reference inference.py:483-487):
@@ -239,47 +254,48 @@ def streaming_inference(
     pool = ThreadPoolExecutor(max_workers=1)
     pending = pool.submit(read_chunk, 0) if num_chunks else None
 
+    from .utils.profiling import SectionTimer
+
+    timer = SectionTimer()
     for i in range(num_chunks):
-        loop_start = time.perf_counter()
-        section = {k: 0.0 for k in ["PKV", "CHECK", "VIDEO", "INPUT", "GEN", "POST"]}
+        timer.reset()
         start_time = (i + skip_first_chunk) * stream.chunk_duration
 
-        _t = time.perf_counter()
-        try:
-            patches, grid, _pts = pending.result()
-        except Exception as e:
-            print(f"Error reading chunk {i}: {e}", file=sys.stderr)
-            break
-        if i + 1 < num_chunks:
-            pending = pool.submit(read_chunk, i + 1)
-        section["VIDEO"] += time.perf_counter() - _t
+        with timer.section("VIDEO"):
+            try:
+                patches, grid, _pts = pending.result()
+            except Exception as e:
+                print(f"Error reading chunk {i}: {e}", file=sys.stderr)
+                break
+            if i + 1 < num_chunks:
+                pending = pool.submit(read_chunk, i + 1)
 
-        _t = time.perf_counter()
-        forced = None
-        if gt_lookup is not None:
-            key = f"Time={start_time:.1f}-{start_time + stream.chunk_duration:.1f}s"
-            if key in gt_lookup:
-                forced_text = gt_lookup[key] + "<|im_end|>"
-                forced = np.asarray(
-                    session.builder.encode(forced_text), np.int32
-                )
+        with timer.section("CHECK"):
+            forced = None
+            if gt_lookup is not None:
+                key = f"Time={start_time:.1f}-{start_time + stream.chunk_duration:.1f}s"
+                if key in gt_lookup:
+                    forced_text = gt_lookup[key] + "<|im_end|>"
+                    forced = np.asarray(
+                        session.builder.encode(forced_text), np.int32
+                    )
         response, gen = session.run_chunk(
-            i, start_time, pixel_patches=patches, grid_thw=grid, forced_response_ids=forced
+            i, start_time, pixel_patches=patches, grid_thw=grid,
+            forced_response_ids=forced, timer=timer,
         )
-        section["GEN"] += time.perf_counter() - _t
 
-        _t = time.perf_counter()
-        clean = response[:-4] if response.endswith(" ...") else response
-        responses.append(
-            {
-                "response": clean,
-                "start_time": start_time,
-                "end_time": start_time + stream.chunk_duration,
-            }
-        )
-        section["POST"] += time.perf_counter() - _t
+        with timer.section("POST"):
+            clean = response[:-4] if response.endswith(" ...") else response
+            responses.append(
+                {
+                    "response": clean,
+                    "start_time": start_time,
+                    "end_time": start_time + stream.chunk_duration,
+                }
+            )
 
-        loop_total = time.perf_counter() - loop_start
+        section = dict(timer.acc)
+        loop_total = timer.total
         if not quiet:
             hms0 = time.strftime("%H:%M:%S", time.gmtime(int(start_time)))
             hms1 = time.strftime(
@@ -449,7 +465,7 @@ def streaming_inference_from_dataset(
             )
         response, _ = session.run_chunk(
             i, turn.start, pixel_patches=patches, grid_thw=grid,
-            forced_response_ids=forced,
+            forced_response_ids=forced, question=turn.question,
         )
         if not quiet:
             print(f"Time={turn.start:.1f}-{turn.end:.1f}s: {response}")

@@ -341,13 +341,29 @@ class StreamingEngine:
         recompute: bool = False,
         eos_id: Optional[int] = None,  # stop token (default <|im_end|>)
         eos_threshold: Optional[Tuple[int, float, float]] = None,
+        timer=None,  # utils.profiling.SectionTimer: PKV/INPUT/GEN sections
     ) -> Tuple[np.ndarray, int]:
         """Evict, ingest one chunk (text+video segments ending with the
         assistant header), generate up to max_new tokens. Returns
-        (generated token ids INCLUDING the final eos, n_gen)."""
-        self.evict()
-        if recompute:
-            self.mark_all_uncached()
+        (generated token ids INCLUDING the final eos, n_gen).
+
+        With `timer`, accumulates the reference's section protocol
+        (inference.py:312-329) with real device fences: PKV = eviction plan +
+        arena compaction, INPUT = prompt/position/upload assembly, GEN =
+        vision encode + fused prefill/decode + result transfer."""
+        import contextlib
+
+        import jax as _jax
+
+        def sec(name, sync=None):
+            return timer.section(name, sync=sync) if timer else contextlib.nullcontext()
+
+        with sec("PKV", sync=(lambda: _jax.block_until_ready(self.k_arena)) if timer else None):
+            self.evict()
+            if recompute:
+                self.mark_all_uncached()
+        _input_cm = sec("INPUT")
+        _input_cm.__enter__()
 
         max_new = max_new or self.stream.max_tokens_per_chunk
         st = self.stream
@@ -433,7 +449,15 @@ class StreamingEngine:
             self._pos_host[:, total : total + max_new] = decode_pos
             slot_pos = self._pos_host
 
-        # vision embeds for this chunk
+        tokens = np.full(t_pad, tkn.pad, np.int32)
+        tokens[:n_real] = chunk_ids
+        _input_cm.__exit__(None, None, None)
+
+        # vision embeds for this chunk + the fused prefill/decode step are the
+        # GEN section (the reference counts the ViT inside generate's first
+        # forward, model_forward.py:57-93)
+        _gen_cm = sec("GEN")
+        _gen_cm.__enter__()
         vis_slots = None
         if vis_embeds is not None:
             pass  # caller supplied (recompute mode: all surviving videos)
@@ -448,9 +472,6 @@ class StreamingEngine:
         if vis_embeds is not None:
             (slots,) = np.nonzero(chunk_ids == tkn.video_pad)
             vis_slots = jnp.asarray(slots, jnp.int32)
-
-        tokens = np.full(t_pad, tkn.pad, np.int32)
-        tokens[:n_real] = chunk_ids
 
         eos = tkn.im_end if eos_id is None else eos_id
         statics = ChunkStatics(
@@ -479,8 +500,9 @@ class StreamingEngine:
             jnp.asarray(eos, jnp.int32),
             key,
         )
-        gen = np.asarray(gen)
+        gen = np.asarray(gen)  # materialization fences the whole device step
         n_gen = int(n_gen)
+        _gen_cm.__exit__(None, None, None)
         self.cached += n_real + n_gen
         if st.pos_mode == "append":
             self._next_pos = next_p + n_gen

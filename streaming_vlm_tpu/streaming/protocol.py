@@ -95,15 +95,22 @@ class PromptBuilder:
         second_per_grid_t: float,
         query: Optional[str] = None,
         *,
+        question: str = "",
         prepend_newline: bool = True,
     ) -> List[Seg]:
         """One streaming user turn:
-        \\n<|im_start|>user\\nTime=a-bs<|vision_start|>[pads]<|vision_end|>{query}<|im_end|>
-        tokenized as one string, split at special-token boundaries."""
+        \\n<|im_start|>user\\nTime=a-bs{question}<|vision_start|>[pads]<|vision_end|>{query}<|im_end|>
+        tokenized as one string, split at special-token boundaries.
+
+        `question` is a mid-stream qa_stream injection placed right after the
+        Time text, matching the TRAINING format (reference
+        lmm_dataset.py:227-237,263-273) so OVO-style streaming evals see the
+        same token layout they were trained on; `query` is the round-0 task
+        prompt placed after the vision block (reference inference.py:370-377)."""
         lead = "\n" if prepend_newline else ""
         qtext = query or ""
         text = (
-            f"{lead}<|im_start|>user\n{self.time_prompt(start, end)}"
+            f"{lead}<|im_start|>user\n{self.time_prompt(start, end)}{question}"
             f"<|vision_start|>{'<|video_pad|>' * n_video_tokens}<|vision_end|>"
             f"{qtext}<|im_end|>"
         )
