@@ -65,7 +65,16 @@ def main():
     )
     sampling = SamplingConfig(temperature=0.9, repetition_penalty=1.05, do_sample=True)
 
+    import os
+
     params = model.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    if os.environ.get("SVT_QUANT", "int8") == "int8":
+        # W8A8 dynamic-quantized decode/prefill: halves weight HBM traffic and
+        # doubles MXU rate (decode is weight-bandwidth-bound at B=1).
+        # SVT_QUANT=none for the bf16 A/B.
+        from streaming_vlm_tpu.ops.quant import quantize_language_params
+
+        params["text"] = quantize_language_params(params["text"], donate=True)
     params = jax.tree.map(jax.block_until_ready, params)
 
     engine = StreamingEngine(cfg, params, stream, sampling, dtype=jnp.bfloat16)

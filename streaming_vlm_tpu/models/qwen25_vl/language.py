@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...config import TextConfig
+from ...ops.quant import mm
 from .rope import apply_rope, make_inv_freq, mrope_cos_sin
 
 Params = Dict[str, Any]
@@ -47,9 +48,9 @@ def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def swiglu(x: jnp.ndarray, gate_w, up_w, down_w) -> jnp.ndarray:
-    g = jnp.dot(x, gate_w)
-    u = jnp.dot(x, up_w)
-    return jnp.dot(jax.nn.silu(g) * u, down_w)
+    g = mm(x, gate_w)
+    u = mm(x, up_w)
+    return mm(jax.nn.silu(g) * u, down_w)
 
 
 # ---------------------------------------------------------------------------
@@ -162,9 +163,9 @@ def _layer_body(
     hd = cfg.head_dim
 
     x = rms_norm(hidden, lp["input_ln"], cfg.rms_norm_eps)
-    q = (jnp.dot(x, lp["q_w"]) + lp["q_b"]).reshape(T, H, hd)
-    k_new = (jnp.dot(x, lp["k_w"]) + lp["k_b"]).reshape(T, Hkv, hd)
-    v_new = (jnp.dot(x, lp["v_w"]) + lp["v_b"]).reshape(T, Hkv, hd)
+    q = (mm(x, lp["q_w"]) + lp["q_b"]).reshape(T, H, hd)
+    k_new = (mm(x, lp["k_w"]) + lp["k_b"]).reshape(T, Hkv, hd)
+    v_new = (mm(x, lp["v_w"]) + lp["v_b"]).reshape(T, Hkv, hd)
 
     q = apply_rope(q, q_cos[:, None, :], q_sin[:, None, :])
 
@@ -178,7 +179,7 @@ def _layer_body(
     )
 
     attn = _gqa_attention_multi(q, parts)
-    hidden = hidden + jnp.dot(attn, lp["o_w"])
+    hidden = hidden + mm(attn, lp["o_w"])
     x = rms_norm(hidden, lp["post_ln"], cfg.rms_norm_eps)
     hidden = hidden + swiglu(x, lp["gate_w"], lp["up_w"], lp["down_w"])
     return hidden, k_new, v_new
@@ -271,9 +272,9 @@ def language_forward_streaming(
         def scan_fn_pallas(hidden, xs):
             lp, ak, av = xs
             x = rms_norm(hidden, lp["input_ln"], cfg.rms_norm_eps)
-            q = (jnp.dot(x, lp["q_w"]) + lp["q_b"]).reshape(T, H, hd)
-            k_new = (jnp.dot(x, lp["k_w"]) + lp["k_b"]).reshape(T, Hkv, hd)
-            v_new = (jnp.dot(x, lp["v_w"]) + lp["v_b"]).reshape(T, Hkv, hd)
+            q = (mm(x, lp["q_w"]) + lp["q_b"]).reshape(T, H, hd)
+            k_new = (mm(x, lp["k_w"]) + lp["k_b"]).reshape(T, Hkv, hd)
+            v_new = (mm(x, lp["v_w"]) + lp["v_b"]).reshape(T, Hkv, hd)
             q = apply_rope(q, q_cos[:, None, :], q_sin[:, None, :])
             k_self_rot = apply_rope(k_new, q_cos[:, None, :], q_sin[:, None, :])
             attn = streaming_prefill_attention(
@@ -289,7 +290,7 @@ def language_forward_streaming(
                 c_b=512,
                 interpret=interpret,
             ).reshape(T, H * hd)
-            hidden = hidden + jnp.dot(attn, lp["o_w"])
+            hidden = hidden + mm(attn, lp["o_w"])
             x = rms_norm(hidden, lp["post_ln"], cfg.rms_norm_eps)
             hidden = hidden + swiglu(x, lp["gate_w"], lp["up_w"], lp["down_w"])
             return hidden, (k_new, v_new)
@@ -344,6 +345,12 @@ def embed_tokens(cfg: TextConfig, params: Params, input_ids: jnp.ndarray) -> jnp
 
 def lm_logits(cfg: TextConfig, params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     """[T, D] -> [T, V] float32 logits."""
+    from ...ops.quant import qdot
+
+    if "lm_head_q" in params:  # quantized copy of the tied embedding.T
+        return qdot(hidden, params["lm_head_q"], out_dtype=jnp.float32)
+    if not cfg.tie_word_embeddings and isinstance(params.get("lm_head"), dict):
+        return qdot(hidden, params["lm_head"], out_dtype=jnp.float32)
     w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
     return jnp.dot(hidden, w, preferred_element_type=jnp.float32)
 

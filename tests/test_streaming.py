@@ -180,11 +180,13 @@ class Oracle:
         hidden = emb
         # right-aligned causal mask: q row i sees kv j <= S - T + i
         mask = jnp.arange(S)[None, :] <= (S - T + jnp.arange(T))[:, None]
+        from streaming_vlm_tpu.ops.quant import mm
+
         for l, lp in enumerate(self.layer_params):
             x = rms_norm(hidden, lp["input_ln"], tcfg.rms_norm_eps)
-            q = (jnp.dot(x, lp["q_w"]) + lp["q_b"]).reshape(T, H, hd)
-            k_new = (jnp.dot(x, lp["k_w"]) + lp["k_b"]).reshape(T, Hkv, hd)
-            v_new = (jnp.dot(x, lp["v_w"]) + lp["v_b"]).reshape(T, Hkv, hd)
+            q = (mm(x, lp["q_w"]) + lp["q_b"]).reshape(T, H, hd)
+            k_new = (mm(x, lp["k_w"]) + lp["k_b"]).reshape(T, Hkv, hd)
+            v_new = (mm(x, lp["v_w"]) + lp["v_b"]).reshape(T, Hkv, hd)
             # cache update with UN-rotated K (shrink mode)
             self.k_cache[l] = np.concatenate([self.k_cache[l], np.asarray(k_new)])
             self.v_cache[l] = np.concatenate([self.v_cache[l], np.asarray(v_new)])
@@ -193,7 +195,7 @@ class Oracle:
                 jnp.asarray(self.k_cache[l]), cos[:, None, :], sin[:, None, :]
             )
             attn = _gqa_attention(q, k_full, jnp.asarray(self.v_cache[l]), mask)
-            hidden = hidden + jnp.dot(attn, lp["o_w"])
+            hidden = hidden + mm(attn, lp["o_w"])
             x = rms_norm(hidden, lp["post_ln"], tcfg.rms_norm_eps)
             hidden = hidden + swiglu(x, lp["gate_w"], lp["up_w"], lp["down_w"])
         hidden = rms_norm(hidden, self.params["text"]["final_ln"], tcfg.rms_norm_eps)
