@@ -72,9 +72,9 @@ def main():
         # W8A8 dynamic-quantized decode/prefill: halves weight HBM traffic and
         # doubles MXU rate (decode is weight-bandwidth-bound at B=1).
         # SVT_QUANT=none for the bf16 A/B.
-        from streaming_vlm_tpu.ops.quant import quantize_language_params
+        from streaming_vlm_tpu.ops.quant import quantize_model_params
 
-        params["text"] = quantize_language_params(params["text"], donate=True)
+        params = quantize_model_params(params, donate=True)
     params = jax.tree.map(jax.block_until_ready, params)
 
     engine = StreamingEngine(cfg, params, stream, sampling, dtype=jnp.bfloat16)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...config import VisionConfig
+from ...ops.quant import mm
 from .language import NEG_INF, rms_norm
 from .rope import apply_rope
 
@@ -314,7 +315,7 @@ def vision_forward(
     hd = cfg.head_dim
     unit = cfg.spatial_merge_unit
 
-    hidden = jnp.dot(pixel_patches, params["patch_embed"])  # [S, D]
+    hidden = mm(pixel_patches, params["patch_embed"])  # [S, D]
     hidden = jnp.take(hidden, patch_perm, axis=0)  # window reorder
 
     cos = jnp.cos(rope_angles)
@@ -341,7 +342,7 @@ def vision_forward(
             x = rms_norm(hidden, lp["norm1"], cfg.rms_norm_eps)
         else:
             x = layer_norm(hidden, lp["norm1"], lp["norm1_b"], cfg.rms_norm_eps)
-        qkv = jnp.dot(x, lp["qkv_w"]) + lp["qkv_b"]
+        qkv = mm(x, lp["qkv_w"]) + lp["qkv_b"]
         q, k, v = (
             qkv.reshape(S, 3, H, hd).transpose(1, 0, 2, 3)[i] for i in range(3)
         )
@@ -355,16 +356,16 @@ def vision_forward(
             )
         else:
             attn = _vision_attention(q, k, v, mask)
-        hidden = hidden + jnp.dot(attn, lp["proj_w"]) + lp["proj_b"]
+        hidden = hidden + mm(attn, lp["proj_w"]) + lp["proj_b"]
         if is_25:
             x = rms_norm(hidden, lp["norm2"], cfg.rms_norm_eps)
-            g = jnp.dot(x, lp["gate_w"]) + lp["gate_b"]
-            u = jnp.dot(x, lp["up_w"]) + lp["up_b"]
-            mlp = jnp.dot(jax.nn.silu(g) * u, lp["down_w"]) + lp["down_b"]
+            g = mm(x, lp["gate_w"]) + lp["gate_b"]
+            u = mm(x, lp["up_w"]) + lp["up_b"]
+            mlp = mm(jax.nn.silu(g) * u, lp["down_w"]) + lp["down_b"]
         else:
             x = layer_norm(hidden, lp["norm2"], lp["norm2_b"], cfg.rms_norm_eps)
-            h1 = quick_gelu(jnp.dot(x, lp["fc1_w"]) + lp["fc1_b"])
-            mlp = jnp.dot(h1, lp["fc2_w"]) + lp["fc2_b"]
+            h1 = quick_gelu(mm(x, lp["fc1_w"]) + lp["fc1_b"])
+            mlp = mm(h1, lp["fc2_w"]) + lp["fc2_b"]
         return hidden + mlp, None
 
     hidden, _ = jax.lax.scan(block, hidden, (params["blocks"], is_full))
@@ -376,8 +377,8 @@ def vision_forward(
     else:
         x = layer_norm(hidden, mp["ln_q"], mp["ln_q_b"], cfg.rms_norm_eps)
     x = x.reshape(-1, unit * cfg.hidden_size)
-    x = jnp.dot(x, mp["fc1_w"]) + mp["fc1_b"]
+    x = mm(x, mp["fc1_w"]) + mp["fc1_b"]
     x = jax.nn.gelu(x, approximate=False)
-    x = jnp.dot(x, mp["fc2_w"]) + mp["fc2_b"]  # [S // unit, out]
+    x = mm(x, mp["fc2_w"]) + mp["fc2_b"]  # [S // unit, out]
 
     return jnp.take(x, reverse_unit_perm, axis=0)

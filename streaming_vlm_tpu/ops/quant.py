@@ -34,6 +34,9 @@ Params = Dict[str, Any]
 
 # keys of the stacked [L, in, out] decoder-layer weight tensors
 LAYER_WEIGHTS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
+# vision-tower weight tensors (qwen2_5 + qwen2 variants; missing keys skipped)
+VISION_BLOCK_WEIGHTS = ("qkv_w", "proj_w", "gate_w", "up_w", "down_w", "fc1_w", "fc2_w")
+VISION_MERGER_WEIGHTS = ("fc1_w", "fc2_w")
 
 
 from functools import partial
@@ -128,3 +131,29 @@ def quantize_language_params(params_text: Params, *, donate: bool = False) -> Pa
             params_text["embed"].T, contract_axis=-2
         )
     return out
+
+
+def quantize_vision_params(params_vision: Params, *, donate: bool = False) -> Params:
+    """Quantize the ViT block + merger weights (models/qwen25_vl/vision.py
+    layout). The patch-embed projection stays in the original dtype — its
+    input is raw normalised pixels whose dynamic range W8A8 handles poorly,
+    and it is a tiny fraction of encode FLOPs."""
+    out = dict(params_vision)
+    blocks = dict(params_vision["blocks"])
+    for k in VISION_BLOCK_WEIGHTS:
+        if k in blocks:
+            blocks[k] = quantize_weight(blocks[k], contract_axis=-2, donate=donate)
+    out["blocks"] = blocks
+    merger = dict(params_vision["merger"])
+    for k in VISION_MERGER_WEIGHTS:
+        merger[k] = quantize_weight(merger[k], contract_axis=-2, donate=donate)
+    out["merger"] = merger
+    return out
+
+
+def quantize_model_params(params: Params, *, donate: bool = False) -> Params:
+    """Quantize a full VLM parameter tree ({"vision", "text"})."""
+    return {
+        "vision": quantize_vision_params(params["vision"], donate=donate),
+        "text": quantize_language_params(params["text"], donate=donate),
+    }

@@ -85,3 +85,30 @@ def test_quantized_weight_memory_halves():
     orig_layers = nbytes(params["text"]["layers"])
     q_layers = nbytes(qtext["layers"])
     assert q_layers < 0.75 * orig_layers  # int8 + f32 scales vs bf16
+
+
+def test_quantized_vision_fidelity():
+    """Quantized ViT + LM multimodal forward stays close to f32."""
+    from streaming_vlm_tpu.ops.quant import quantize_model_params
+
+    params = model.init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+    qp = quantize_model_params(params)
+    rng = np.random.default_rng(0)
+    grid = (1, 4, 4)
+    pd = (
+        CFG.vision.in_channels
+        * CFG.vision.temporal_patch_size
+        * CFG.vision.patch_size**2
+    )
+    pix = rng.normal(size=(16, pd)).astype(np.float32) * 0.1
+    t = CFG.tokens
+    ids = np.array([t.im_start, 50, t.vision_start] + [t.video_pad] * 4
+                   + [t.vision_end, 60, 61, t.im_end], np.int32)
+    kw = dict(pixel_patches=jnp.asarray(pix), video_grid_thw=np.array([list(grid)]),
+              second_per_grid_ts=[1.0])
+    full = np.asarray(model.forward_full(CFG, params, ids, **kw))
+    quant = np.asarray(model.forward_full(CFG, qp, ids, **kw))
+    rel = np.linalg.norm(quant - full) / np.linalg.norm(full)
+    assert rel < 0.05, rel
+    agree = (full.argmax(-1) == quant.argmax(-1)).mean()
+    assert agree >= 0.85, agree
