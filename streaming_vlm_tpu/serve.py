@@ -82,6 +82,21 @@ class StreamingSession:
             )
         return " ".join(str(int(t)) for t in ids)
 
+    def encode_patches(self, pixel_patches, grid_thw):
+        """Dispatch the vision encode of a chunk (async device work) — call
+        for chunk i+1 right after run_chunk_async(i) so the encode rides the
+        device queue behind chunk i's step (encoder/decoder overlap)."""
+        import jax.numpy as jnp
+
+        from .models.qwen25_vl import model as _model
+
+        return _model.encode_video(
+            self.cfg,
+            self.engine.params,
+            jnp.asarray(pixel_patches, self.engine.dtype),
+            (tuple(int(x) for x in grid_thw),),
+        )
+
     def run_chunk(
         self,
         i: int,
@@ -90,6 +105,7 @@ class StreamingSession:
         frames_u8=None,
         grid_thw=None,
         pixel_patches=None,
+        vis_embeds=None,
         forced_response_ids: Optional[np.ndarray] = None,
         question: str = "",
         timer=None,  # utils.profiling.SectionTimer
@@ -97,6 +113,32 @@ class StreamingSession:
         """Ingest chunk i and generate. Returns (response text, generated ids).
         `question` is a mid-stream qa_stream injection appended to the Time
         text (reference lmm_dataset.py:227-237)."""
+        handle = self.run_chunk_async(
+            i,
+            start_time,
+            frames_u8=frames_u8,
+            grid_thw=grid_thw,
+            pixel_patches=pixel_patches,
+            vis_embeds=vis_embeds,
+            question=question,
+            timer=timer,
+        )
+        return self.finish_chunk(i, handle, forced_response_ids=forced_response_ids)
+
+    def run_chunk_async(
+        self,
+        i: int,
+        start_time: float,
+        *,
+        frames_u8=None,
+        grid_thw=None,
+        pixel_patches=None,
+        vis_embeds=None,
+        question: str = "",
+        timer=None,
+    ):
+        """Dispatch chunk i (evict + prompt + fused step); returns the engine
+        handle for finish_chunk."""
         import contextlib
 
         def sec(name):
@@ -131,7 +173,6 @@ class StreamingSession:
                 )
             segs.extend(self.builder.assistant_open_segments(i))
 
-        vis_embeds = None
         if self.recompute:
             # config (c): drop the cache, re-encode and re-prefill the whole
             # surviving window each chunk (reference inference.py:423-438)
@@ -155,7 +196,7 @@ class StreamingSession:
             pixel_patches = None
             frames_u8 = None
 
-        gen, _ = self.engine.process_chunk(
+        return self.engine.process_chunk_async(
             segs,
             pixel_patches=pixel_patches,
             grid_thw=tuple(int(x) for x in grid_thw),
@@ -164,6 +205,17 @@ class StreamingSession:
             recompute=self.recompute,
             timer=timer,
         )
+
+    def finish_chunk(
+        self,
+        i: int,
+        handle,
+        *,
+        forced_response_ids: Optional[np.ndarray] = None,
+    ) -> Tuple[str, np.ndarray]:
+        """Block for chunk i's generation, apply GT forcing, commit the
+        assistant turn. Returns (response text, generated ids)."""
+        gen, _ = self.engine.finish_chunk(handle)
         if forced_response_ids is not None:
             # ground-truth teacher forcing (reference inference.py:483-487):
             # replace the generated turn with the GT ids; their KV re-prefills
@@ -257,18 +309,27 @@ def streaming_inference(
     from .utils.profiling import SectionTimer
 
     timer = SectionTimer()
+    # Pipelined serve (encoder/decoder overlap): chunk i's fused step is
+    # dispatched, then chunk i+1's vision encode is dispatched behind it, and
+    # only then does the host block on chunk i's result — the device never
+    # idles while the host decodes text / writes VTT / assembles prompts.
+    # Recompute mode (efficiency config c) re-encodes whole windows per chunk
+    # and keeps the simple synchronous path.
+    next_embeds = None
+    next_video = None  # (patches, grid) already read for the NEXT chunk
     for i in range(num_chunks):
         timer.reset()
         start_time = (i + skip_first_chunk) * stream.chunk_duration
 
         with timer.section("VIDEO"):
             try:
-                patches, grid, _pts = pending.result()
+                patches, grid, _pts = next_video or pending.result()
             except Exception as e:
                 print(f"Error reading chunk {i}: {e}", file=sys.stderr)
                 break
-            if i + 1 < num_chunks:
+            if next_video is None and i + 1 < num_chunks:
                 pending = pool.submit(read_chunk, i + 1)
+            next_video = None
 
         with timer.section("CHECK"):
             forced = None
@@ -279,10 +340,25 @@ def streaming_inference(
                     forced = np.asarray(
                         session.builder.encode(forced_text), np.int32
                     )
-        response, gen = session.run_chunk(
-            i, start_time, pixel_patches=patches, grid_thw=grid,
-            forced_response_ids=forced, timer=timer,
+
+        handle = session.run_chunk_async(
+            i, start_time,
+            pixel_patches=None if next_embeds is not None else patches,
+            vis_embeds=next_embeds, grid_thw=grid, timer=timer,
         )
+        next_embeds = None
+        if not recompute and i + 1 < num_chunks:
+            # overlap: encode chunk i+1 while chunk i's step runs
+            try:
+                nxt = pending.result()
+                pending = (
+                    pool.submit(read_chunk, i + 2) if i + 2 < num_chunks else None
+                )
+                next_video = nxt
+                next_embeds = session.encode_patches(nxt[0], nxt[1])
+            except Exception:
+                next_video = None  # surfaced on the next iteration's VIDEO read
+        response, gen = session.finish_chunk(i, handle, forced_response_ids=forced)
 
         with timer.section("POST"):
             clean = response[:-4] if response.endswith(" ...") else response
