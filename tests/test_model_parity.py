@@ -225,3 +225,48 @@ def test_qwen2_vl_multimodal_parity():
         )
     )
     np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=2e-3)
+
+
+def test_load_hf_checkpoint_from_disk(hf_model, jax_params, tmp_path):
+    """The safetensors-on-disk path (reference inference.py:70-85): save the
+    tiny HF model with save_pretrained, then load_hf_checkpoint must rebuild
+    the exact same config + parameter tree as the live-state-dict converter,
+    and produce HF-parity logits."""
+    import dataclasses
+
+    import torch
+
+    from streaming_vlm_tpu.models.convert import load_hf_checkpoint
+
+    d = str(tmp_path / "tiny_hf")
+    hf_model.save_pretrained(d, safe_serialization=True)
+    import os
+
+    assert any(f.endswith(".safetensors") for f in os.listdir(d))
+
+    cfg2, params2 = load_hf_checkpoint(d, dtype=jnp.float32)
+
+    # config round-trips (identity fields like name/tokens aside)
+    assert dataclasses.replace(cfg2.text) == CFG.text
+    assert dataclasses.replace(cfg2.vision) == CFG.vision
+
+    # parameter trees are identical to the live-state-dict conversion
+    import jax
+
+    flat1, tree1 = jax.tree_util.tree_flatten_with_path(jax_params)
+    flat2, tree2 = jax.tree_util.tree_flatten_with_path(params2)
+    assert tree1 == tree2
+    for (p1, a1), (p2, a2) in zip(flat1, flat2):
+        assert p1 == p2
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2), err_msg=str(p1))
+
+    # and the loaded tree produces HF-parity logits on a text prompt
+    from streaming_vlm_tpu.models.qwen25_vl import model as m
+
+    ids = np.arange(24) % 900 + 30
+    with torch.no_grad():
+        hf_logits = hf_model(
+            input_ids=torch.tensor(ids[None]), use_cache=False
+        ).logits[0].numpy()
+    ours = np.asarray(m.forward_full(cfg2, params2, ids))
+    np.testing.assert_allclose(ours, hf_logits, atol=2e-4, rtol=2e-3)
