@@ -88,6 +88,11 @@ def sharding_for_tree(
     def one(path, leaf):
         ps = None
         s = _path_str(path)
+        # quantized trees (ops/quant.py) wrap each weight as {"q","s"}; the
+        # rules address the weight path — match it with the suffix stripped
+        # (the int8 "q" has the weight's shape; the "s" scales keep dims of 1
+        # on the contracted axis, which the divisibility fallback replicates)
+        s = re.sub(r"/(q|s)$", "", s)
         for pat, spec in rules:
             if re.search(pat, s):
                 ps = spec
@@ -116,3 +121,14 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
         "text": sharding_for_tree(params["text"], mesh, TEXT_TP_RULES),
     }
     return jax.device_put(params, shardings), shardings
+
+
+def arena_sharding(mesh: Mesh, kv_heads: int) -> NamedSharding:
+    """Sharding for the streaming KV arena [L, C, Hkv, hd]: split KV heads
+    over the 'model' axis (each device holds its attention heads' cache —
+    the multi-chip streaming-cache layout; 7B: 4 kv heads on a model=4
+    mesh axis). Falls back to replication when Hkv doesn't divide."""
+    m = int(mesh.shape.get("model", 1))
+    if m > 1 and kv_heads % m == 0:
+        return NamedSharding(mesh, P(None, None, "model", None))
+    return NamedSharding(mesh, P())

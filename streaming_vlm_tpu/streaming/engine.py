@@ -278,6 +278,7 @@ class StreamingEngine:
         stream: StreamConfig,
         sampling: SamplingConfig,
         dtype=jnp.bfloat16,
+        mesh=None,  # jax.sharding.Mesh: TP-sharded streaming (7B on v5e-8)
     ):
         from .segments import SegmentTable
 
@@ -289,6 +290,15 @@ class StreamingEngine:
         self.table = SegmentTable(all_text=stream.all_text)
         C = stream.kv_capacity
         self.k_arena, self.v_arena = language.init_kv_arena(cfg.text, C, dtype)
+        if mesh is not None:
+            # the arena lives sharded over KV heads: each device keeps the
+            # cache of the attention heads it owns; eviction gathers and
+            # chunk-block merges stay device-local (no resharding traffic)
+            from ..parallel.mesh import arena_sharding
+
+            sh = arena_sharding(mesh, cfg.text.num_key_value_heads)
+            self.k_arena = jax.device_put(self.k_arena, sh)
+            self.v_arena = jax.device_put(self.v_arena, sh)
         self.ids_arena = jnp.zeros((C,), jnp.int32)
         self.cached = 0  # arena slots holding valid KV (table prefix)
         # append mode: per-slot positions are assigned once and never

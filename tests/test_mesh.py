@@ -20,21 +20,27 @@ GRID = (1, 4, 4)
 PATCH_DIM = CFG.vision.in_channels * CFG.vision.temporal_patch_size * CFG.vision.patch_size**2
 
 
-def _drive(params, n_chunks=3):
+def _drive(params, n_chunks=3, cfg=CFG, mesh=None):
     stream = StreamConfig(
         text_round=2, window_size=2, chunk_duration=1,
         text_sink=4, text_sliding_window=3, max_tokens_per_chunk=4,
         kv_capacity=1024, prefill_buckets=(64, 128, 256),
     )
     engine = StreamingEngine(
-        CFG, params, stream, SamplingConfig(do_sample=False), dtype=jnp.float32
+        cfg, params, stream, SamplingConfig(do_sample=False), dtype=jnp.float32,
+        mesh=mesh,
     )
-    builder = PromptBuilder(TOK, FakeTokenizer(TOK))
+    builder = PromptBuilder(cfg.tokens, FakeTokenizer(cfg.tokens))
     _, eb = builder.measure_biases()
     rng = np.random.default_rng(3)
+    patch_dim = (
+        cfg.vision.in_channels
+        * cfg.vision.temporal_patch_size
+        * cfg.vision.patch_size**2
+    )
     gens = []
     for i in range(n_chunks):
-        pixels = rng.normal(size=(np.prod(GRID), PATCH_DIM)).astype(np.float32) * 0.1
+        pixels = rng.normal(size=(np.prod(GRID), patch_dim)).astype(np.float32) * 0.1
         segs = []
         if i == 0:
             segs.append(builder.system_segment())
@@ -74,3 +80,57 @@ def test_dryrun_multichip_entry():
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     m.dryrun_multichip(8)
+
+
+def _7b_geometry_cfg():
+    """Qwen2.5-VL-7B's sharding-relevant geometry (28 q heads / 4 kv heads /
+    head_dim 128 / hidden 3584 — reference checkpoint base, inference.py:531)
+    at reduced depth/vocab/mlp so the CPU mesh can run it."""
+    import dataclasses
+
+    from streaming_vlm_tpu.config import qwen25_vl_7b
+
+    cfg = qwen25_vl_7b()
+    return dataclasses.replace(
+        cfg,
+        tokens=CFG.tokens,  # tiny-vocab special ids for FakeTokenizer
+        text=dataclasses.replace(
+            cfg.text, num_hidden_layers=2, vocab_size=8192,
+            intermediate_size=4736,
+        ),
+        vision=dataclasses.replace(
+            cfg.vision, depth=2, fullatt_block_indexes=(1,), hidden_size=64,
+            intermediate_size=128, num_heads=4, window_size=28,
+            out_hidden_size=3584,
+        ),
+    )
+
+
+def test_7b_sharded_streaming_matches_single_device():
+    """The 7B-geometry streaming engine, TP-sharded over the 8-device mesh
+    with the KV arena split across kv heads, generates exactly what the
+    single-device engine does (evictions included)."""
+    cfg = _7b_geometry_cfg()
+    params = model.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    ref = _drive(params, cfg=cfg)
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sharded, _ = shard_params(params, mesh)
+    out = _drive(sharded, cfg=cfg, mesh=mesh)
+    assert out == ref
+
+
+def test_7b_sharded_quantized_streaming():
+    """Sharding rules also apply through the int8 QTensor tree ({q,s} leaves):
+    sharded-quantized == single-device-quantized generations."""
+    from streaming_vlm_tpu.ops.quant import quantize_model_params
+
+    cfg = _7b_geometry_cfg()
+    params = model.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    qp = quantize_model_params(params)
+    ref = _drive(qp, cfg=cfg)
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sharded, _ = shard_params(qp, mesh)
+    out = _drive(sharded, cfg=cfg, mesh=mesh)
+    assert out == ref
