@@ -131,7 +131,8 @@ def cmd_soak(argv):
     p = argparse.ArgumentParser(prog="soak")
     p.add_argument("--model_path", default=None, help="HF dir; default: random 3B")
     p.add_argument("--n_chunks", type=int, default=120)
-    p.add_argument("--kv_capacity", type=int, default=12288)
+    p.add_argument("--kv_capacity", type=int, default=10240)
+    p.add_argument("--quantize", default="int8", choices=["int8", "none"])
     args = p.parse_args(argv)
 
     import jax
@@ -147,6 +148,10 @@ def cmd_soak(argv):
         cfg = qwen25_vl_3b()
         params = m.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
         dtype = jnp.bfloat16
+    if args.quantize == "int8":
+        from .ops.quant import quantize_model_params
+
+        params = quantize_model_params(params, donate=True)
     stream = StreamConfig(kv_capacity=args.kv_capacity, prefill_buckets=(640, 1024))
     report = run_soak(
         cfg=cfg,

@@ -57,10 +57,12 @@ def run_soak(
     from ..streaming.engine import StreamingEngine
     from ..streaming.protocol import FakeTokenizer, PromptBuilder
 
+    from ..models.qwen25_vl import model as _model
+
     sampling = sampling or SamplingConfig()
-    engine = StreamingEngine(
-        cfg, params, stream, sampling, dtype=dtype or jnp.bfloat16
-    )
+    adt = dtype or jnp.bfloat16
+    engine = StreamingEngine(cfg, params, stream, sampling, dtype=adt)
+    engine.prewarm()
     encode = tokenizer or FakeTokenizer(cfg.tokens)
     builder = PromptBuilder(cfg.tokens, encode)
     _, end_bias = builder.measure_biases()
@@ -68,17 +70,23 @@ def run_soak(
 
     merge = cfg.vision.spatial_merge_size
     n_vid = grid[0] * (grid[1] // merge) * (grid[2] // merge)
-    n_patches = int(np.prod(grid))
-    patch_dim = (
-        cfg.vision.in_channels
-        * cfg.vision.temporal_patch_size
-        * cfg.vision.patch_size**2
-    )
     spgt = 2.0 / stream.fps
+    frame_h = grid[1] * cfg.vision.patch_size
+    frame_w = grid[2] * cfg.vision.patch_size
+    n_frames = grid[0] * cfg.vision.temporal_patch_size
 
+    def synth_frames():
+        return rng.integers(
+            0, 255, size=(n_frames, frame_h, frame_w, 3), dtype=np.uint8
+        )
+
+    # pipelined serve protocol, identical to bench.py: dispatch chunk i's
+    # step, then chunk i+1's encode, then block
     kv_occ, times = [], []
+    vis = _model.encode_video_frames(
+        cfg, params, engine.upload_frames(synth_frames()), grid, dtype=adt
+    )
     for i in range(n_chunks):
-        pixels = (rng.normal(size=(n_patches, patch_dim)) * 0.1).astype(np.float32)
         t0, t1 = i * stream.chunk_duration, (i + 1) * stream.chunk_duration
         segs = []
         if i == 0:
@@ -91,7 +99,12 @@ def run_soak(
             segs.extend(builder.user_turn_segments(i, t0, t1, n_vid, grid, spgt))
         segs.extend(builder.assistant_open_segments(i))
         t_start = time.perf_counter()
-        gen, _ = engine.process_chunk(segs, pixels, grid)
+        handle = engine.process_chunk_async(segs, vis_embeds=vis, grid_thw=grid)
+        if i + 1 < n_chunks:
+            vis = _model.encode_video_frames(
+                cfg, params, engine.upload_frames(synth_frames()), grid, dtype=adt
+            )
+        gen, _ = engine.finish_chunk(handle)
         times.append(time.perf_counter() - t_start)
         engine.commit_assistant(gen, end_bias, i)
         kv_occ.append(engine.cached)

@@ -198,3 +198,59 @@ def test_efficiency_configs_end_to_end(video_path, params, tmp_path, mode):
     for rec in payload["per_chunk"]:
         assert rec["decoded_tokens"] >= 1
         assert rec["gen_time_per_token"] is not None
+
+
+def test_livesports_competitor_generators(video_path, params, tmp_path):
+    """LiveCC + plain-caption competitors over the same events, merged to
+    jsonl, then a streaming-vs-LiveCC head-to-head through the judge
+    (reference distributed_generate_livecc.py / _caption.py)."""
+    from streaming_vlm_tpu.baselines.livecc import LiveCCConfig
+
+    events = [
+        {"event_id": "e1", "video": video_path, "begin": 0.0, "end": 3.0,
+         "preasr_text": "pre words", "event_cc": "baseline text",
+         "title": "Match"},
+    ]
+    events_path = str(tmp_path / "events.jsonl")
+    with open(events_path, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    # prompt building follows the reference's two modes
+    p = livesports.competitor_prompt(events[0])
+    assert 'titled "Match"' in p and "previous commentary" in p
+    assert livesports.competitor_prompt(events[0], simple_ctx=True) == "pre words"
+
+    lc_dir = str(tmp_path / "livecc")
+    lc = LiveCCConfig(fps=2.0, initial_fps_frames=2, streaming_fps_frames=2,
+                      max_new_tokens=4, kv_capacity=2048)
+    written = livesports.generate_livecc_commentary(
+        cfg=CFG, params=params, tokenizer=FTOK, events_path=events_path,
+        out_dir=lc_dir, lc=lc, video=TINY_VIDEO_CFG, dtype=jnp.float32,
+    )
+    assert len(written) == 1
+    with open(written[0]) as f:
+        rec = json.load(f)
+    assert rec["pred"].endswith("...") and rec["event_id"] == "e1"
+    # idempotent
+    assert livesports.generate_livecc_commentary(
+        cfg=CFG, params=params, tokenizer=FTOK, events_path=events_path,
+        out_dir=lc_dir, lc=lc, video=TINY_VIDEO_CFG, dtype=jnp.float32,
+    ) == []
+
+    cap_dir = str(tmp_path / "caption")
+    written = livesports.generate_plain_captions(
+        cfg=CFG, params=params, tokenizer=FTOK, events_path=events_path,
+        out_dir=cap_dir, fps=1.0, max_frames=4, max_new_tokens=4,
+        video=TINY_VIDEO_CFG,
+    )
+    assert len(written) == 1
+
+    merged = str(tmp_path / "livecc.jsonl")
+    assert livesports.merge_event_outputs(lc_dir, merged) == 1
+
+    summary = livesports.judge_competitors(
+        events_path=events_path, pred_dir_a=lc_dir, pred_dir_b=cap_dir,
+        judge=fake_judge("A"), out_path=str(tmp_path / "votes.jsonl"),
+    )
+    assert summary["total"] == 1
