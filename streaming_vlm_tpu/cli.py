@@ -231,12 +231,57 @@ def cmd_train(argv):
     trainer.train(ds)
 
 
+def cmd_demo(argv):
+    """Live caption demo: browser player + SSE commentary stream (the
+    reference's Gradio app equivalent, baselines/livecc/demo/app.py)."""
+    p = argparse.ArgumentParser(prog="demo")
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--video_path", required=True)
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--query", default="Commentate on this match")
+    p.add_argument("--previous_text", default="")
+    p.add_argument("--render_out", default=None,
+                   help="also burn caption bubbles into an mp4 at this path")
+    p.add_argument("--quantize", default="int8", choices=["int8", "none"])
+    args = p.parse_args(argv)
+
+    from .demo.app import LiveCaptionServer, stream_segments
+
+    cfg, params, tokenizer, dtype = load_model(args.model_path)
+    if args.quantize == "int8":
+        from .ops.quant import quantize_model_params
+
+        params = quantize_model_params(params, donate=True)
+
+    collected = []
+
+    def source():
+        for seg in stream_segments(
+            cfg=cfg, params=params, tokenizer=tokenizer,
+            video_path=args.video_path, query=args.query,
+            previous_text=args.previous_text, dtype=dtype,
+        ):
+            collected.append(seg)
+            yield seg
+        if args.render_out:
+            from .demo.render import render_caption_video
+
+            render_caption_video(args.video_path, collected, args.render_out)
+            print(f"rendered captions -> {args.render_out}")
+
+    LiveCaptionServer(
+        args.video_path, source, host=args.host, port=args.port
+    ).serve_forever()
+
+
 COMMANDS = {
     "serve": cmd_serve,
     "efficiency": cmd_efficiency,
     "soak": cmd_soak,
     "ovobench": cmd_ovobench,
     "train": cmd_train,
+    "demo": cmd_demo,
 }
 
 

@@ -1,0 +1,99 @@
+"""Caption-bubble video renderer (+ optional TTS hook).
+
+The reference renders commentary bubbles onto the source video and overlays
+kokoro-TTS audio (/root/reference/baselines/livecc/demo/render/video.py:213,
+bubble.py:143, moviepy + kokoro). Here: PIL draws the bubbles, the native
+FFmpeg encoder (video/native/svt_ingest.cc svt_encoder_*) writes the mp4,
+and TTS is gated on the synthesiser being installed (it is not baked into
+this image — synth_speech raises with instructions instead of stubbing
+silently).
+"""
+
+from __future__ import annotations
+
+import textwrap
+from typing import Dict, List, Optional, Sequence, Tuple
+
+
+def _bubble_layout(text: str, width_px: int, char_w: int = 7) -> List[str]:
+    cols = max(10, (width_px - 40) // char_w)
+    return textwrap.wrap(text, cols)[:3]
+
+
+def draw_bubble(frame, text: str, *, margin: int = 8):
+    """Draw one rounded caption bubble onto an RGB uint8 frame (in place on a
+    copy). Returns the new frame."""
+    import numpy as np
+    from PIL import Image, ImageDraw
+
+    img = Image.fromarray(frame)
+    d = ImageDraw.Draw(img, "RGBA")
+    w, h = img.size
+    lines = _bubble_layout(text, w)
+    if not lines:
+        return frame
+    line_h = 12
+    pad = 6
+    bh = len(lines) * line_h + 2 * pad
+    bw = min(w - 2 * margin, max(len(l) for l in lines) * 7 + 2 * pad)
+    x0, y0 = margin, h - margin - bh
+    d.rounded_rectangle(
+        [x0, y0, x0 + bw, y0 + bh], radius=8, fill=(34, 170, 102, 220)
+    )
+    for i, line in enumerate(lines):
+        d.text((x0 + pad, y0 + pad + i * line_h), line, fill=(255, 255, 255, 255))
+    return np.asarray(img)
+
+
+def render_caption_video(
+    video_path: str,
+    segments: Sequence[Dict],  # [{"start","end","text"}]
+    out_path: str,
+    *,
+    fps: int = 10,
+    max_seconds: Optional[float] = None,
+) -> Tuple[int, int]:
+    """Burn caption bubbles into the video: each frame shows the segment
+    active at its timestamp. Returns (n_frames, n_segments_drawn)."""
+    import numpy as np
+
+    from ..video.ingest import VideoReader, VideoWriter
+
+    r = VideoReader(video_path)
+    ts = r.frame_ts[:, 1]
+    n = len(ts) if max_seconds is None else int(np.searchsorted(ts, max_seconds))
+    n = max(n, 1)
+    w = r.width - r.width % 4
+    h = r.height - r.height % 4
+    drawn = set()
+    with VideoWriter(out_path, w, h, fps) as out:
+        for i in range(n):
+            frame = r.fetch([i], w, h)[0]
+            t = float(ts[i])
+            for si, seg in enumerate(segments):
+                if seg["start"] <= t < seg["end"] and seg["text"]:
+                    frame = draw_bubble(frame, seg["text"])
+                    drawn.add(si)
+                    break
+            out.write(frame)
+    return n, len(drawn)
+
+
+def synth_speech(text: str, out_wav: str) -> str:
+    """TTS hook (reference uses kokoro, demo/render/video.py). Raises with
+    install instructions when no synthesiser is available."""
+    try:
+        from kokoro import KPipeline  # type: ignore
+    except ImportError as e:
+        raise RuntimeError(
+            "TTS requires the 'kokoro' package (pip install kokoro soundfile); "
+            "it is not part of this image. Caption rendering works without it "
+            "via render_caption_video."
+        ) from e
+    import numpy as np
+    import soundfile as sf  # type: ignore
+
+    pipe = KPipeline(lang_code="a")
+    chunks = [audio for _, _, audio in pipe(text, voice="af_heart")]
+    sf.write(out_wav, np.concatenate(chunks), 24000)
+    return out_wav

@@ -72,8 +72,47 @@ def _lib():
         lib.svt_write_test_video.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int
         ]
+        lib.svt_encoder_open.restype = ctypes.c_void_p
+        lib.svt_encoder_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int
+        ]
+        lib.svt_encoder_write.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)
+        ]
+        lib.svt_encoder_close.argtypes = [ctypes.c_void_p]
         _LIB = lib
     return _LIB
+
+
+class VideoWriter:
+    """Stream arbitrary RGB frames into an mp4 via the native encoder."""
+
+    def __init__(self, path: str, w: int, h: int, fps: int):
+        self._lib = _lib()
+        self._h = self._lib.svt_encoder_open(path.encode(), w, h, fps)
+        if not self._h:
+            raise RuntimeError(f"svt_encoder_open failed for {path}")
+        self.w, self.h = w, h
+
+    def write(self, frame: np.ndarray) -> None:
+        assert frame.shape == (self.h, self.w, 3) and frame.dtype == np.uint8
+        frame = np.ascontiguousarray(frame)
+        rc = self._lib.svt_encoder_write(
+            self._h, frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        )
+        if rc != 0:
+            raise RuntimeError(f"svt_encoder_write failed: {rc}")
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.svt_encoder_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
 
 
 def write_test_video(path: str, w: int = 128, h: int = 96, n_frames: int = 60, fps: int = 10) -> None:

@@ -334,4 +334,93 @@ int svt_write_test_video(const char* path, int w, int h, int n_frames,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Streaming RGB frame encoder: feed arbitrary RGB24 frames, get an mp4.
+// Used by the demo's caption/bubble renderer (reference
+// baselines/livecc/demo/render/video.py burns bubbles into frames with
+// moviepy; here the burn-in happens in Python and the encode is native).
+// ---------------------------------------------------------------------------
+struct SvtEncoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* enc = nullptr;
+  AVStream* st = nullptr;
+  AVFrame* frame = nullptr;
+  AVPacket* pkt = nullptr;
+  SwsContext* sws = nullptr;
+  int w = 0, h = 0;
+  int64_t next_pts = 0;
+};
+
+static int svt_enc_drain(SvtEncoder* e) {
+  while (avcodec_receive_packet(e->enc, e->pkt) == 0) {
+    av_packet_rescale_ts(e->pkt, e->enc->time_base, e->st->time_base);
+    e->pkt->stream_index = e->st->index;
+    av_interleaved_write_frame(e->fmt, e->pkt);
+  }
+  return 0;
+}
+
+void* svt_encoder_open(const char* path, int w, int h, int fps) {
+  SvtEncoder* e = new SvtEncoder();
+  e->w = w;
+  e->h = h;
+  avformat_alloc_output_context2(&e->fmt, nullptr, nullptr, path);
+  if (!e->fmt) { delete e; return nullptr; }
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!codec) { delete e; return nullptr; }
+  e->st = avformat_new_stream(e->fmt, nullptr);
+  e->enc = avcodec_alloc_context3(codec);
+  e->enc->width = w;
+  e->enc->height = h;
+  e->enc->time_base = {1, fps};
+  e->enc->framerate = {fps, 1};
+  e->enc->pix_fmt = AV_PIX_FMT_YUV420P;
+  e->enc->gop_size = 12;
+  e->enc->bit_rate = 2000000;
+  if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    e->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(e->enc, codec, nullptr) < 0) { delete e; return nullptr; }
+  avcodec_parameters_from_context(e->st->codecpar, e->enc);
+  e->st->time_base = e->enc->time_base;
+  if (!(e->fmt->oformat->flags & AVFMT_NOFILE))
+    if (avio_open(&e->fmt->pb, path, AVIO_FLAG_WRITE) < 0) { delete e; return nullptr; }
+  if (avformat_write_header(e->fmt, nullptr) < 0) { delete e; return nullptr; }
+  e->frame = av_frame_alloc();
+  e->frame->format = e->enc->pix_fmt;
+  e->frame->width = w;
+  e->frame->height = h;
+  av_frame_get_buffer(e->frame, 0);
+  e->pkt = av_packet_alloc();
+  e->sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
+                          SWS_BILINEAR, nullptr, nullptr, nullptr);
+  return e;
+}
+
+int svt_encoder_write(void* handle, const uint8_t* rgb) {
+  SvtEncoder* e = (SvtEncoder*)handle;
+  av_frame_make_writable(e->frame);
+  const uint8_t* src[1] = {rgb};
+  int src_stride[1] = {3 * e->w};
+  sws_scale(e->sws, src, src_stride, 0, e->h, e->frame->data,
+            e->frame->linesize);
+  e->frame->pts = e->next_pts++;
+  if (avcodec_send_frame(e->enc, e->frame) != 0) return -1;
+  return svt_enc_drain(e);
+}
+
+int svt_encoder_close(void* handle) {
+  SvtEncoder* e = (SvtEncoder*)handle;
+  avcodec_send_frame(e->enc, nullptr);
+  svt_enc_drain(e);
+  av_write_trailer(e->fmt);
+  av_packet_free(&e->pkt);
+  av_frame_free(&e->frame);
+  sws_freeContext(e->sws);
+  avcodec_free_context(&e->enc);
+  if (!(e->fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&e->fmt->pb);
+  avformat_free_context(e->fmt);
+  delete e;
+  return 0;
+}
+
 }  // extern "C"
