@@ -231,6 +231,131 @@ def cmd_train(argv):
     trainer.train(ds)
 
 
+def cmd_infstream(argv):
+    """Inf-Stream-Eval: generate / merge / score / aggregate (reference
+    eval/model_compete, sharded via scripts/eval_infstream.sh)."""
+    p = argparse.ArgumentParser(prog="infstream")
+    p.add_argument("mode", choices=["generate", "merge", "score", "aggregate"])
+    p.add_argument("--model_path")
+    p.add_argument("--eval_metadata")
+    p.add_argument("--out_path", required=True)
+    p.add_argument("--start_line", type=int, default=0)
+    p.add_argument("--end_line", type=int, default=None)
+    p.add_argument("--start_time", type=int, default=1000)
+    p.add_argument("--duration", type=int, default=100)
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--shards", nargs="*", default=[], help="merge/aggregate inputs")
+    p.add_argument("--merged_a")
+    p.add_argument("--merged_b")
+    p.add_argument("--judge_model", default="gpt-4o-mini")
+    args = p.parse_args(argv)
+
+    from .eval import infstream
+
+    if args.mode == "generate":
+        cfg, params, tokenizer, dtype = load_model(args.model_path)
+        infstream.generate_segments(
+            cfg=cfg, params=params, tokenizer=tokenizer,
+            eval_metadata=args.eval_metadata, out_path=args.out_path,
+            start_time=args.start_time, duration=args.duration,
+            temperature=args.temperature, start_line=args.start_line,
+            end_line=args.end_line, dtype=dtype,
+        )
+    elif args.mode == "merge":
+        infstream.merge_results(args.shards, args.out_path)
+    elif args.mode == "score":
+        from .eval.judge import openai_judge_fn
+
+        infstream.score_segments(
+            merged_a=args.merged_a, merged_b=args.merged_b,
+            eval_metadata=args.eval_metadata,
+            judge=openai_judge_fn(args.judge_model), out_path=args.out_path,
+        )
+    else:
+        print(json.dumps(infstream.merge_scores(args.shards)))
+
+
+def cmd_livesports(argv):
+    """LiveSports-3K-CC: streaming / livecc / caption generators + judge
+    (reference eval/livesports3kcc, sharded via scripts/eval_livesports.sh)."""
+    p = argparse.ArgumentParser(prog="livesports")
+    p.add_argument("mode", choices=["streaming", "livecc", "caption", "judge", "merge"])
+    p.add_argument("--model_path")
+    p.add_argument("--events_path")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--worker", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=1)
+    p.add_argument("--pred_dir_b", help="judge: competitor dir (default event_cc)")
+    p.add_argument("--out_path", help="judge votes / merge jsonl path")
+    p.add_argument("--judge_model", default="gpt-4o-mini")
+    args = p.parse_args(argv)
+
+    from .eval import livesports
+
+    if args.mode == "merge":
+        n = livesports.merge_event_outputs(args.out_dir, args.out_path)
+        print(f"merged {n} events -> {args.out_path}")
+        return
+    if args.mode == "judge":
+        from .eval.judge import openai_judge_fn
+
+        judge = openai_judge_fn(args.judge_model)
+        if args.pred_dir_b:
+            summary = livesports.judge_competitors(
+                events_path=args.events_path, pred_dir_a=args.out_dir,
+                pred_dir_b=args.pred_dir_b, judge=judge, out_path=args.out_path,
+            )
+        else:
+            summary = livesports.judge_events(
+                events_path=args.events_path, pred_dir=args.out_dir,
+                judge=judge, out_path=args.out_path,
+            )
+        print(json.dumps(summary))
+        return
+
+    cfg, params, tokenizer, dtype = load_model(args.model_path)
+    kw = dict(
+        cfg=cfg, params=params, tokenizer=tokenizer,
+        events_path=args.events_path, out_dir=args.out_dir,
+        worker=args.worker, num_workers=args.num_workers, dtype=dtype,
+    )
+    if args.mode == "streaming":
+        livesports.generate_commentary(**kw)
+    elif args.mode == "livecc":
+        livesports.generate_livecc_commentary(**kw)
+    else:
+        kw.pop("dtype")
+        livesports.generate_plain_captions(**kw)
+
+
+def cmd_vqa(argv):
+    """VLMEvalKit-protocol MCQ eval over a TSV (reference scripts/eval_VQA.sh
+    -> VLMEvalKit run.py; here the kit-format dataset drives VQAChat)."""
+    p = argparse.ArgumentParser(prog="vqa")
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--tsv", required=True)
+    p.add_argument("--out_path", required=True)
+    p.add_argument("--worker", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=1)
+    p.add_argument("--max_new_tokens", type=int, default=1)
+    args = p.parse_args(argv)
+
+    from .eval.vqa import VQAChat, run_mcq_tsv
+    from .streaming.protocol import hf_encode_fn
+
+    cfg, params, tokenizer, dtype = load_model(args.model_path)
+    chat = VQAChat(
+        cfg, params, hf_encode_fn(tokenizer),
+        lambda ids: tokenizer.decode(ids, skip_special_tokens=True),
+        max_new_tokens=args.max_new_tokens,
+    )
+    res = run_mcq_tsv(
+        chat, args.tsv, args.out_path,
+        worker=args.worker, num_workers=args.num_workers,
+    )
+    print(json.dumps(res))
+
+
 def cmd_demo(argv):
     """Live caption demo: browser player + SSE commentary stream (the
     reference's Gradio app equivalent, baselines/livecc/demo/app.py)."""
@@ -282,6 +407,9 @@ COMMANDS = {
     "ovobench": cmd_ovobench,
     "train": cmd_train,
     "demo": cmd_demo,
+    "infstream": cmd_infstream,
+    "livesports": cmd_livesports,
+    "vqa": cmd_vqa,
 }
 
 

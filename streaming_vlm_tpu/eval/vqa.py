@@ -113,3 +113,115 @@ class VQAChat:
             out.append(nxt)
             ids = np.concatenate([ids, [nxt]]).astype(np.int32)
         return self.decode(out)
+
+
+# ---------------------------------------------------------------------------
+# Minimal VLMEvalKit-protocol MCQ runner: drives VQAChat with the kit's
+# ImageMCQDataset TSV format and prompt construction
+# (reference eval/VLMEvalKit/vlmeval/dataset/image_mcq.py build_prompt:
+# Hint/Question/Options/"Please select the correct answer..."), so a
+# kit-format dataset runs end-to-end without vendoring the 103k-LoC kit.
+# ---------------------------------------------------------------------------
+
+MCQ_INSTRUCTION = "Please select the correct answer from the options above. \n"
+
+
+def build_mcq_message(row: Dict, image_dir: str) -> List[Dict]:
+    """VLMEvalKit ImageMCQDataset.build_prompt over one TSV row. The 'image'
+    column holds base64 image bytes (the kit's transport format); decoded
+    files are dumped under image_dir like the kit's dump_image."""
+    import base64
+    import os
+    import string
+
+    msgs: List[Dict] = []
+    if row.get("image"):
+        path = os.path.join(image_dir, f"{row['index']}.png")
+        if not os.path.exists(path):
+            with open(path, "wb") as f:
+                f.write(base64.b64decode(row["image"]))
+        msgs.append({"type": "image", "value": path})
+    elif row.get("image_path"):
+        msgs.append({"type": "image", "value": row["image_path"]})
+
+    options = {
+        c: row[c]
+        for c in string.ascii_uppercase
+        if row.get(c) not in (None, "", "nan")
+    }
+    prompt = ""
+    if row.get("hint") and row["hint"] != "nan":
+        prompt += f"Hint: {row['hint']}\n"
+    prompt += f"Question: {row['question']}\n"
+    if options:
+        prompt += "Options:\n"
+        for k, v in options.items():
+            prompt += f"{k}. {v}\n"
+        prompt += MCQ_INSTRUCTION
+    msgs.append({"type": "text", "value": prompt})
+    return msgs
+
+
+def extract_option(pred: str, options: Sequence[str]) -> Optional[str]:
+    """Exact-match option extraction (the kit's first-stage matcher)."""
+    s = pred.strip()
+    if not s:
+        return None
+    head = s[0].upper()
+    if head in options:
+        return head
+    for opt in options:
+        if s.upper().startswith(f"{opt}.") or s.upper() == opt:
+            return opt
+    return None
+
+
+def run_mcq_tsv(
+    chat: "VQAChat",
+    tsv_path: str,
+    out_path: str,
+    *,
+    image_dir: Optional[str] = None,
+    worker: int = 0,
+    num_workers: int = 1,
+) -> Dict[str, float]:
+    """Run a VLMEvalKit-format MCQ TSV through the chat adapter; write
+    per-item predictions jsonl and return accuracy."""
+    import csv
+    import json
+    import os
+    import string
+
+    image_dir = image_dir or (os.path.splitext(out_path)[0] + "_images")
+    os.makedirs(image_dir, exist_ok=True)
+    with open(tsv_path, newline="") as f:
+        rows = list(csv.DictReader(f, delimiter="\t"))
+    n_correct, n_total = 0, 0
+    with open(out_path, "w") as fout:
+        for i, row in enumerate(rows):
+            if i % num_workers != worker:
+                continue
+            msgs = build_mcq_message(row, image_dir)
+            pred = chat.generate(msgs, dataset="MCQ")
+            opts = [
+                c for c in string.ascii_uppercase if row.get(c) not in (None, "", "nan")
+            ]
+            choice = extract_option(pred, opts)
+            hit = choice is not None and choice == row.get("answer")
+            n_total += 1
+            n_correct += int(hit)
+            fout.write(
+                json.dumps(
+                    {
+                        "index": row.get("index"),
+                        "prediction": pred,
+                        "choice": choice,
+                        "answer": row.get("answer"),
+                        "hit": int(hit),
+                    },
+                    ensure_ascii=False,
+                )
+                + "\n"
+            )
+    return {"total": n_total, "correct": n_correct,
+            "accuracy": n_correct / n_total if n_total else 0.0}

@@ -49,3 +49,40 @@ def make_slice_mesh(
     assert n % model_parallel == 0, (n, model_parallel)
     devices = mesh_utils.create_device_mesh((n // model_parallel, model_parallel))
     return Mesh(devices, (data_axis, model_axis))
+
+
+def make_multislice_mesh(
+    num_slices: int,
+    model_parallel: int,
+    devices=None,
+    axes=("dcn", "data", "model"),
+):
+    """('dcn', 'data', 'model') mesh for multi-slice pods: the outermost axis
+    crosses slices (collectives ride DCN), data+model stay inside a slice
+    (ICI). Parameter rules (parallel/mesh.py) only name data/model, so params
+    replicate across slices and gradient all-reduces span dcn — the
+    multi-slice data-parallel layout replacing the reference's multi-node
+    torchrun (sft_stage_1.sh:44-45). Devices are ordered by slice_index so
+    rows of the mesh are physically slice-local."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % num_slices == 0, (n, num_slices)
+    per = n // num_slices
+    assert per % model_parallel == 0, (per, model_parallel)
+    devices.sort(key=lambda d: (getattr(d, "slice_index", 0) or 0, d.id))
+    dev = np.asarray(devices).reshape(
+        num_slices, per // model_parallel, model_parallel
+    )
+    return Mesh(dev, axes)
+
+
+def batch_spec(mesh) -> "object":
+    """PartitionSpec for the batch dim: spans every data-like axis present
+    (('dcn','data') on multi-slice meshes, ('data',) otherwise)."""
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(a for a in ("dcn", "data") if a in mesh.shape)
+    return P(axes if len(axes) > 1 else (axes[0] if axes else None))

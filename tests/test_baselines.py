@@ -64,3 +64,50 @@ def test_vqa_adapter_mcq(params, tmp_path):
         ]
     )
     assert isinstance(out, str) and len(out) >= 1
+
+
+def test_vlmevalkit_mcq_tsv_end_to_end(params, tmp_path):
+    """A VLMEvalKit-format MCQ TSV (base64 images, A-D options, hint) runs
+    end-to-end through VQAChat via the kit's prompt protocol."""
+    import base64
+    import csv
+    import io
+
+    from PIL import Image
+
+    from streaming_vlm_tpu.eval.vqa import extract_option, run_mcq_tsv
+
+    rng = np.random.default_rng(0)
+
+    def b64_image(seed):
+        arr = rng.integers(0, 255, size=(56, 84, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    tsv = str(tmp_path / "mcq.tsv")
+    with open(tsv, "w", newline="") as f:
+        w = csv.writer(f, delimiter="\t")
+        w.writerow(["index", "image", "question", "hint", "A", "B", "C", "D", "answer"])
+        w.writerow([0, b64_image(0), "What is shown?", "", "cat", "dog", "car", "sky", "A"])
+        w.writerow([1, b64_image(1), "Pick one.", "a hint", "x", "y", "z", "", "B"])
+
+    def decode(ids):
+        return "A" if ids else ""  # deterministic fake decode -> option A
+
+    chat = VQAChat(
+        CFG, params, FTOK, decode,
+        max_new_tokens=1, min_pixels=28 * 28, max_pixels=16 * 28 * 28,
+    )
+    out = str(tmp_path / "preds.jsonl")
+    res = run_mcq_tsv(chat, tsv, out)
+    assert res["total"] == 2
+    import json as _json
+
+    recs = [_json.loads(l) for l in open(out)]
+    assert len(recs) == 2 and all(r["choice"] in ("A", None) for r in recs)
+
+    # option extraction protocol
+    assert extract_option("B. dog", ["A", "B"]) == "B"
+    assert extract_option("b", ["A", "B"]) == "B"
+    assert extract_option("unrelated", ["A", "B"]) is None

@@ -134,3 +134,49 @@ def test_7b_sharded_quantized_streaming():
     sharded, _ = shard_params(qp, mesh)
     out = _drive(sharded, cfg=cfg, mesh=mesh)
     assert out == ref
+
+
+def test_multislice_dcn_mesh_training_step():
+    """Multi-slice layout: ('dcn','data','model') mesh — params replicate
+    across slices, batch shards over (dcn, data), and one training step
+    produces the same loss as the flat single-mesh run (the DCN axis is pure
+    data parallelism, reference torchrun/NCCL layer)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from streaming_vlm_tpu.parallel.distributed import batch_spec, make_multislice_mesh
+    from streaming_vlm_tpu.train.step import make_optimizer, make_train_step
+
+    cfg = CFG
+    params = model.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    optimizer = make_optimizer(learning_rate=1e-5)
+    rng = np.random.default_rng(0)
+    B, T = 4, 64
+    batch_np = {
+        "input_ids": rng.integers(5, 900, size=(B, T)).astype(np.int32),
+        "labels": rng.integers(5, 900, size=(B, T)).astype(np.int32),
+        "positions": np.broadcast_to(
+            np.arange(T, dtype=np.float32), (B, 3, T)
+        ).copy(),
+    }
+
+    def run(mesh):
+        p, _ = shard_params(params, mesh)
+        opt_state = optimizer.init(p["text"])
+        bs = batch_spec(mesh)
+        batch = jax.device_put(
+            batch_np,
+            {
+                "input_ids": NamedSharding(mesh, P(*bs, None)),
+                "labels": NamedSharding(mesh, P(*bs, None)),
+                "positions": NamedSharding(mesh, P(*bs, None, None)),
+            },
+        )
+        step = jax.jit(make_train_step(cfg, optimizer))
+        _, _, metrics = step(p, opt_state, batch)
+        return float(metrics["loss"])
+
+    ms = make_multislice_mesh(2, 2)  # {dcn: 2, data: 2, model: 2} over 8 cpus
+    assert dict(ms.shape) == {"dcn": 2, "data": 2, "model": 2}
+    loss_ms = run(ms)
+    loss_flat = run(make_mesh({"data": 2, "model": 4}))
+    np.testing.assert_allclose(loss_ms, loss_flat, rtol=1e-5)
