@@ -287,7 +287,10 @@ def language_forward_streaming(
                 v_new,
                 visible_len,
                 t_b=128 if T % 128 == 0 else 64,
-                c_b=512,
+                # measured on v5e: c_b=1024 is ~19% faster than 512 (fewer
+                # online-softmax rescale passes); larger t_b fails to compile
+                # (VMEM) and bf16 cos/sin gains nothing (not DMA-bound)
+                c_b=1024 if C % 1024 == 0 else 512,
                 interpret=interpret,
             ).reshape(T, H * hd)
             hidden = hidden + mm(attn, lp["o_w"])
