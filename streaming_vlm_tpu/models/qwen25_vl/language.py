@@ -152,11 +152,13 @@ def _layer_body(
     q_cos,
     q_sin,
     self_mask,  # [T, T] mask over the block's own keys (causal)
-    context,  # list of (k_raw [S,Hkv,hd], v [S,Hkv,hd], cos [S,f], sin [S,f], mask [T,S])
+    context,  # list of (k [S,Hkv,hd], v [S,Hkv,hd], cos [S,f], sin [S,f], mask [T,S]);
+    # cos=None marks a PRE-ROTATED k source (rotation skipped)
 ):
     """One decoder layer: attention over read-only context KV sources plus the
-    block's own (new) K/V. Returns (hidden, k_new, v_new). Context sources are
-    never written — the caller merges k_new/v_new into its arena afterwards."""
+    block's own (new) K/V. Returns (hidden, k_new, k_new_rot, v_new). Context
+    sources are never written — the caller merges k_new/v_new into its arena
+    afterwards (k_new_rot into a rotated-arena scratch, if it keeps one)."""
     T = hidden.shape[0]
     H = cfg.num_attention_heads
     Hkv = cfg.num_key_value_heads
@@ -170,19 +172,22 @@ def _layer_body(
     q = apply_rope(q, q_cos[:, None, :], q_sin[:, None, :])
 
     parts = []
-    for k_raw, v, cos, sin, mask in context:
-        k_rot = apply_rope(k_raw, cos[:, None, :], sin[:, None, :])
+    for k_src, v, cos, sin, mask in context:
+        k_rot = (
+            k_src
+            if cos is None
+            else apply_rope(k_src, cos[:, None, :], sin[:, None, :])
+        )
         parts.append((k_rot, v, mask))
     # the block's own keys (rotated with q's positions)
-    parts.append(
-        (apply_rope(k_new, q_cos[:, None, :], q_sin[:, None, :]), v_new, self_mask)
-    )
+    k_new_rot = apply_rope(k_new, q_cos[:, None, :], q_sin[:, None, :])
+    parts.append((k_new_rot, v_new, self_mask))
 
     attn = _gqa_attention_multi(q, parts)
     hidden = hidden + mm(attn, lp["o_w"])
     x = rms_norm(hidden, lp["post_ln"], cfg.rms_norm_eps)
     hidden = hidden + swiglu(x, lp["gate_w"], lp["up_w"], lp["down_w"])
-    return hidden, k_new, v_new
+    return hidden, k_new, k_new_rot, v_new
 
 
 def language_forward(
@@ -201,7 +206,7 @@ def language_forward(
         attn_mask = jnp.tril(jnp.ones((T, T), bool))
 
     def scan_fn(hidden, lp):
-        hidden, _, _ = _layer_body(
+        hidden, _, _, _ = _layer_body(
             cfg, hidden, lp, q_cos=q_cos, q_sin=q_sin, self_mask=attn_mask, context=[]
         )
         return hidden, None
@@ -216,27 +221,39 @@ def language_forward_streaming(
     inputs_embeds: jnp.ndarray,  # [T, D]
     q_positions: jnp.ndarray,  # [3, T] float32
     *,
-    arena: Tuple[jnp.ndarray, jnp.ndarray],  # READ-ONLY [L, C, Hkv, hd] x2 (un-rotated K)
-    arena_positions: jnp.ndarray,  # [3, C] float32
+    arena: Tuple[jnp.ndarray, jnp.ndarray],  # READ-ONLY [L, C, Hkv, hd] x2
+    arena_positions: Optional[jnp.ndarray] = None,  # [3, C] float32 (raw-K mode)
     visible_len: jnp.ndarray,  # scalar int32: arena slots < visible_len attendable
+    arena_rotated: bool = False,  # arena K already rotated for this chunk's positions
     extra: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # [L, E, Hkv, hd] x2
     extra_positions: Optional[jnp.ndarray] = None,  # [3, E]
     extra_visible: Optional[jnp.ndarray] = None,  # scalar int32
+    extra_rotated: bool = False,  # extra K already rotated
     self_mask: Optional[jnp.ndarray] = None,  # [T, T]; default causal
     use_pallas: Optional[bool] = None,  # None = auto (TPU backend, prefill only)
-) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Streaming decoder stack over a read-only KV arena (+ optional small
     read-only `extra` block, e.g. the decode delta). The arena is NEVER
     copied or carried through the scan — only its per-layer slices are read;
-    the new block's K/V come back as [L, T, Hkv, hd] for the caller to merge
-    with one dynamic_update_slice. K sources are un-rotated; rotation is
-    applied at attention time from per-slot positions (the reference's shrink
-    semantics, language_forward.py:184-197, at flat per-token cost)."""
+    the new block's K/V come back as [L, T, Hkv, hd] (raw K, rotated K, V)
+    for the caller to merge with one dynamic_update_slice each.
+
+    K rotation semantics (the reference's shrink mode,
+    language_forward.py:184-197): the persistent arena holds UN-rotated K and
+    positions are contiguous-re-indexed at eviction. Within one chunk the
+    positions are fixed, so the caller normally rotates the arena ONCE per
+    chunk (`arena_rotated=True`) instead of per attention call — that is what
+    makes the per-token decode cost flat AND cheap (no per-step cos/sin DMA
+    or rotate VPU work). `arena_rotated=False` rotates in-place from
+    `arena_positions` (used by tests/oracles and one-shot calls)."""
     T = inputs_embeds.shape[0]
     C = arena[0].shape[1]
     inv_freq = jnp.asarray(make_inv_freq(cfg.head_dim, cfg.rope_theta))
     q_cos, q_sin = mrope_cos_sin(q_positions, inv_freq, cfg.mrope_section)
-    a_cos, a_sin = mrope_cos_sin(arena_positions, inv_freq, cfg.mrope_section)
+    if arena_rotated:
+        a_cos = a_sin = None
+    else:
+        a_cos, a_sin = mrope_cos_sin(arena_positions, inv_freq, cfg.mrope_section)
     arena_mask = jnp.broadcast_to(
         (jnp.arange(C) < visible_len)[None, :], (T, C)
     )
@@ -265,8 +282,11 @@ def language_forward_streaming(
         from ...ops.attention import streaming_prefill_attention
 
         H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-        acos2 = jnp.concatenate([a_cos, a_cos], axis=-1)
-        asin2 = jnp.concatenate([a_sin, a_sin], axis=-1)
+        if arena_rotated:
+            acos2 = asin2 = None
+        else:
+            acos2 = jnp.concatenate([a_cos, a_cos], axis=-1)
+            asin2 = jnp.concatenate([a_sin, a_sin], axis=-1)
         interpret = jax.default_backend() not in ("tpu", "axon")
 
         def scan_fn_pallas(hidden, xs):
@@ -296,17 +316,20 @@ def language_forward_streaming(
             hidden = hidden + mm(attn, lp["o_w"])
             x = rms_norm(hidden, lp["post_ln"], cfg.rms_norm_eps)
             hidden = hidden + swiglu(x, lp["gate_w"], lp["up_w"], lp["down_w"])
-            return hidden, (k_new, v_new)
+            return hidden, (k_new, k_self_rot, v_new)
 
-        hidden, (k_block, v_block) = jax.lax.scan(
+        hidden, (k_block, k_block_rot, v_block) = jax.lax.scan(
             scan_fn_pallas, inputs_embeds, (params["layers"], arena[0], arena[1])
         )
         hidden = rms_norm(hidden, params["final_ln"], cfg.rms_norm_eps)
-        return hidden, (k_block, v_block)
+        return hidden, (k_block, k_block_rot, v_block)
 
     if extra is not None:
         E = extra[0].shape[1]
-        e_cos, e_sin = mrope_cos_sin(extra_positions, inv_freq, cfg.mrope_section)
+        if extra_rotated:
+            e_cos = e_sin = None
+        else:
+            e_cos, e_sin = mrope_cos_sin(extra_positions, inv_freq, cfg.mrope_section)
         extra_mask = jnp.broadcast_to(
             (jnp.arange(E) < extra_visible)[None, :], (T, E)
         )
@@ -314,12 +337,12 @@ def language_forward_streaming(
         def scan_fn(hidden, xs):
             lp, ak, av, ek, ev = xs
             ctx = [(ak, av, a_cos, a_sin, arena_mask), (ek, ev, e_cos, e_sin, extra_mask)]
-            hidden, kn, vn = _layer_body(
+            hidden, kn, knr, vn = _layer_body(
                 cfg, hidden, lp, q_cos=q_cos, q_sin=q_sin, self_mask=self_mask, context=ctx
             )
-            return hidden, (kn, vn)
+            return hidden, (kn, knr, vn)
 
-        hidden, (k_block, v_block) = jax.lax.scan(
+        hidden, (k_block, k_block_rot, v_block) = jax.lax.scan(
             scan_fn,
             inputs_embeds,
             (params["layers"], arena[0], arena[1], extra[0], extra[1]),
@@ -329,17 +352,17 @@ def language_forward_streaming(
         def scan_fn(hidden, xs):
             lp, ak, av = xs
             ctx = [(ak, av, a_cos, a_sin, arena_mask)]
-            hidden, kn, vn = _layer_body(
+            hidden, kn, knr, vn = _layer_body(
                 cfg, hidden, lp, q_cos=q_cos, q_sin=q_sin, self_mask=self_mask, context=ctx
             )
-            return hidden, (kn, vn)
+            return hidden, (kn, knr, vn)
 
-        hidden, (k_block, v_block) = jax.lax.scan(
+        hidden, (k_block, k_block_rot, v_block) = jax.lax.scan(
             scan_fn, inputs_embeds, (params["layers"], arena[0], arena[1])
         )
 
     hidden = rms_norm(hidden, params["final_ln"], cfg.rms_norm_eps)
-    return hidden, (k_block, v_block)
+    return hidden, (k_block, k_block_rot, v_block)
 
 
 def embed_tokens(cfg: TextConfig, params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:

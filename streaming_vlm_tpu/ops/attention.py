@@ -5,10 +5,21 @@ streaming KV arena. Replaces the jnp path that materialises
 [Hkv, G, T, C] f32 logits (~0.5 GB/layer at T=640, C=12k). Two KV sources
 share one online softmax:
 
-  * the read-only arena (un-rotated K; RoPE applied IN-KERNEL from per-slot
-    cos/sin — the TPU-native form of the reference's shrink-mode full-cache
-    re-rotation, language_forward.py:184-197, now free: K is already in VMEM)
+  * the read-only arena. Two modes:
+      - raw mode: K is un-rotated; RoPE applied IN-KERNEL from per-slot
+        cos/sin (the TPU-native form of the reference's shrink-mode
+        full-cache re-rotation, language_forward.py:184-197)
+      - pre-rotated mode (acos2/asin2 = None): the caller rotated the arena
+        K once per CHUNK (positions are fixed between evictions), so the
+        kernel skips both the cos/sin DMA (~1 MB/tile) and the rotate VPU
+        work — measured faster end-to-end, see CLAUDE.md perf notes
   * the chunk's own K/V block (pre-rotated outside; causal mask)
+
+Softmax runs in log2 space: scale*log2(e) is folded into q once outside, the
+kernel uses exp2 (TPU transcendental unit native; saves a multiply per logit).
+Arena tiles fully inside the visible region skip mask construction entirely;
+invisible tiles also skip their HBM->VMEM copy (index map clamps to the last
+visible tile, and revisited blocks are not re-fetched).
 
 Grid: (kv_heads, q_tiles, kv_tiles) with the kv axis innermost; running
 max / denominator / accumulator persist in VMEM scratch across kv tiles
@@ -21,7 +32,7 @@ This replaces the role of flash-attn's CUDA kernels in the reference
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,34 +41,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
 
 
 def _flash_kernel(
     # scalar prefetch
     visible_ref,  # [1] int32 — arena slots < visible are attendable
-    # inputs
-    q_ref,  # [1, T_b, G, hd]   (rotated q)
-    ka_ref,  # [1, C_b, hd]      (raw arena K tile, [Hkv, C, hd] layout)
-    va_ref,  # [1, C_b, hd]
-    acos_ref,  # [C_b, hd]       (duplicated-half cos for arena slots)
-    asin_ref,  # [C_b, hd]
-    ks_ref,  # [1, S_b, hd]      (rotated self-block K tile)
-    vs_ref,  # [1, S_b, hd]
-    # outputs
-    out_ref,  # [1, T_b, G, hd]
-    # scratch
-    m_ref,  # [T_b * G, 128] f32 running max (col 0 used)
-    l_ref,  # [T_b * G, 128] f32 running denom
-    acc_ref,  # [T_b * G, hd] f32
-    *,
+    # inputs (acos/asin only present in raw mode)
+    *refs,
+    rotate_arena: bool,
     n_arena_tiles: int,
     n_self_tiles: int,
     c_b: int,
     t_b: int,
     g: int,
     hd: int,
-    scale: float,
 ):
+    if rotate_arena:
+        q_ref, ka_ref, va_ref, acos_ref, asin_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        q_ref, ka_ref, va_ref, ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref = refs
+        acos_ref = asin_ref = None
+
     ik = pl.program_id(2)
     it = pl.program_id(1)
     rows = t_b * g
@@ -68,35 +73,31 @@ def _flash_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].reshape(rows, hd)  # row = t * G + g
+    q = q_ref[0].reshape(rows, hd)  # row = t * G + g; pre-scaled by scale*log2e
 
     is_arena = ik < n_arena_tiles
+    vis = visible_ref[0]
 
-    # ---- load + rotate K tile, build mask
     def rotate(k, cos, sin):
         half = hd // 2
         rot = jnp.concatenate([-k[:, half:], k[:, :half]], axis=-1)
         return k * cos + rot * sin
 
-    row_t = jax.lax.broadcasted_iota(jnp.int32, (rows, c_b), 0) // g  # q row time
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, c_b), 1)
-
     def accumulate(k, v, mask):
-        logits = (
-            jax.lax.dot_general(
-                q.astype(k.dtype),
-                k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * scale
+        # q is pre-multiplied by scale * log2(e): logits live in log2 space
+        logits = jax.lax.dot_general(
+            q.astype(k.dtype),
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        logits = jnp.where(mask, logits, NEG_INF)
+        if mask is not None:
+            logits = jnp.where(mask, logits, NEG_INF)
         m_prev = m_ref[:, :1]
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(logits - m_new)
-        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp2(logits - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
         l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype),
@@ -107,20 +108,30 @@ def _flash_kernel(
         m_ref[:, :1] = m_new
         l_ref[:, :1] = l_new
 
-    # predicated branches (Mosaic legalizes side-effect-only scf.if)
-    @pl.when(is_arena & (ik * c_b < visible_ref[0]))
-    def _arena():
-        k = ka_ref[0].astype(jnp.float32)
-        k = rotate(k, acos_ref[:], asin_ref[:]).astype(va_ref.dtype)
-        mask = (ik * c_b + col) < visible_ref[0]
-        accumulate(k, va_ref[0], mask)
+    def arena_k():
+        if rotate_arena:
+            k = ka_ref[0].astype(jnp.float32)
+            return rotate(k, acos_ref[:], asin_ref[:]).astype(va_ref.dtype)
+        return ka_ref[0]
+
+    # predicated branches (Mosaic legalizes side-effect-only scf.if);
+    # interior tiles (fully visible) skip mask construction entirely
+    @pl.when(is_arena & ((ik + 1) * c_b <= vis))
+    def _arena_interior():
+        accumulate(arena_k(), va_ref[0], None)
+
+    @pl.when(is_arena & ((ik + 1) * c_b > vis) & (ik * c_b < vis))
+    def _arena_boundary():
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, c_b), 1)
+        accumulate(arena_k(), va_ref[0], (ik * c_b + col) < vis)
 
     @pl.when(jnp.logical_not(is_arena))
     def _self():
-        k = ks_ref[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, c_b), 1)
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (rows, c_b), 0) // g
         j = (ik - n_arena_tiles) * c_b + col
         t_global = it * t_b + row_t
-        accumulate(k, vs_ref[0], j <= t_global)
+        accumulate(ks_ref[0], vs_ref[0], j <= t_global)
 
     @pl.when(ik == n_arena_tiles + n_self_tiles - 1)
     def _finish():
@@ -132,17 +143,17 @@ def _flash_kernel(
     jax.jit, static_argnames=("t_b", "c_b", "interpret")
 )
 def streaming_prefill_attention(
-    q_rot: jnp.ndarray,  # [T, H, hd] rotated queries
-    k_arena: jnp.ndarray,  # [C, Hkv, hd] raw (un-rotated) K
+    q_rot: jnp.ndarray,  # [T, H, hd] rotated queries (unscaled)
+    k_arena: jnp.ndarray,  # [C, Hkv, hd] arena K — raw, or pre-rotated if acos2 is None
     v_arena: jnp.ndarray,  # [C, Hkv, hd]
-    acos2: jnp.ndarray,  # [C, hd] duplicated-half cos per slot
-    asin2: jnp.ndarray,  # [C, hd]
+    acos2: Optional[jnp.ndarray],  # [C, hd] duplicated-half cos per slot, or None
+    asin2: Optional[jnp.ndarray],  # [C, hd] (None with acos2=None: pre-rotated mode)
     k_self_rot: jnp.ndarray,  # [T, Hkv, hd] rotated block K
     v_self: jnp.ndarray,  # [T, Hkv, hd]
     visible_len: jnp.ndarray,  # scalar int32
     *,
     t_b: int = 128,
-    c_b: int = 512,
+    c_b: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns attention output [T, H, hd] (same dtype as v)."""
@@ -152,6 +163,11 @@ def streaming_prefill_attention(
     t_b = min(t_b, T)
     assert T % t_b == 0, (T, t_b)
     assert C % c_b == 0, (C, c_b)
+    rotate_arena = acos2 is not None
+    # fold softmax scale and the exp->exp2 base change into q (one small op)
+    q_rot = (q_rot.astype(jnp.float32) * (LOG2E / float(np.sqrt(hd)))).astype(
+        q_rot.dtype
+    )
     # self block padded to a multiple of c_b
     s_pad = (-T) % c_b
     if s_pad:
@@ -171,60 +187,69 @@ def streaming_prefill_attention(
 
     grid = (Hkv, T // t_b, n_arena_tiles + n_self_tiles)
 
-    def clamp_a(ik, n):
-        return jnp.minimum(ik, n - 1)
+    def clamp_a(ik, vis):
+        # last tile that holds visible slots: invisible tiles re-map to it, so
+        # the pipeline skips their HBM copy (revisited blocks aren't re-fetched)
+        last_vis = jnp.maximum((vis[0] + c_b - 1) // c_b - 1, 0)
+        return jnp.clip(ik, 0, jnp.minimum(last_vis, n_arena_tiles - 1))
 
     kernel = functools.partial(
         _flash_kernel,
+        rotate_arena=rotate_arena,
         n_arena_tiles=n_arena_tiles,
         n_self_tiles=n_self_tiles,
         c_b=c_b,
         t_b=t_b,
         g=G,
         hd=hd,
-        scale=1.0 / float(np.sqrt(hd)),
     )
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, t_b, G, hd), lambda h, it, ik, _vis: (h, it, 0, 0)
+        ),  # q: [Hkv, T, G, hd]
+        pl.BlockSpec(
+            (1, c_b, hd),
+            lambda h, it, ik, vis: (h, clamp_a(ik, vis), 0),
+        ),
+        pl.BlockSpec(
+            (1, c_b, hd),
+            lambda h, it, ik, vis: (h, clamp_a(ik, vis), 0),
+        ),
+    ]
+    inputs = [qg, ka_h, va_h]
+    if rotate_arena:
+        in_specs += [
+            pl.BlockSpec((c_b, hd), lambda h, it, ik, vis: (clamp_a(ik, vis), 0)),
+            pl.BlockSpec((c_b, hd), lambda h, it, ik, vis: (clamp_a(ik, vis), 0)),
+        ]
+        inputs += [acos2, asin2]
+    in_specs += [
+        pl.BlockSpec(
+            (1, c_b, hd),
+            lambda h, it, ik, _vis: (
+                h,
+                jnp.clip(ik - n_arena_tiles, 0, n_self_tiles - 1),
+                0,
+            ),
+        ),
+        pl.BlockSpec(
+            (1, c_b, hd),
+            lambda h, it, ik, _vis: (
+                h,
+                jnp.clip(ik - n_arena_tiles, 0, n_self_tiles - 1),
+                0,
+            ),
+        ),
+    ]
+    inputs += [ks_h, vs_h]
 
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, t_b, G, hd), lambda h, it, ik, _vis: (h, it, 0, 0)
-                ),  # q: [Hkv, T, G, hd]
-                pl.BlockSpec(
-                    (1, c_b, hd),
-                    lambda h, it, ik, _vis: (h, clamp_a(ik, n_arena_tiles), 0),
-                ),
-                pl.BlockSpec(
-                    (1, c_b, hd),
-                    lambda h, it, ik, _vis: (h, clamp_a(ik, n_arena_tiles), 0),
-                ),
-                pl.BlockSpec(
-                    (c_b, hd), lambda h, it, ik, _vis: (clamp_a(ik, n_arena_tiles), 0)
-                ),
-                pl.BlockSpec(
-                    (c_b, hd), lambda h, it, ik, _vis: (clamp_a(ik, n_arena_tiles), 0)
-                ),
-                pl.BlockSpec(
-                    (1, c_b, hd),
-                    lambda h, it, ik, _vis: (
-                        h,
-                        jnp.clip(ik - n_arena_tiles, 0, n_self_tiles - 1),
-                        0,
-                    ),
-                ),
-                pl.BlockSpec(
-                    (1, c_b, hd),
-                    lambda h, it, ik, _vis: (
-                        h,
-                        jnp.clip(ik - n_arena_tiles, 0, n_self_tiles - 1),
-                        0,
-                    ),
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, t_b, G, hd), lambda h, it, ik, _vis: (h, it, 0, 0)
             ),
@@ -238,13 +263,7 @@ def streaming_prefill_attention(
         interpret=interpret,
     )(
         jnp.asarray(visible_len, jnp.int32).reshape(1),
-        qg,
-        ka_h,
-        va_h,
-        acos2,
-        asin2,
-        ks_h,
-        vs_h,
+        *inputs,
     )
     # [Hkv, T, G, hd] -> [T, H, hd]
     return out.transpose(1, 0, 2, 3).reshape(T, H, hd)

@@ -136,6 +136,16 @@ def chunk_step(
     if statics.use_descriptors:
         slot_positions = positions_from_descriptors(slot_positions, C)
 
+    # Rotate the whole arena K ONCE for this chunk's (fixed) positions: the
+    # prefill kernel and all max_new decode steps then read pre-rotated K —
+    # no per-attention-call cos/sin traffic or rotate work. The raw arena is
+    # what persists across chunks (positions change at eviction).
+    from ..models.qwen25_vl.rope import apply_rope, make_inv_freq, mrope_cos_sin
+
+    inv_freq = jnp.asarray(make_inv_freq(tcfg.head_dim, tcfg.rope_theta))
+    a_cos, a_sin = mrope_cos_sin(slot_positions, inv_freq, tcfg.mrope_section)
+    k_rot = apply_rope(k_arena, a_cos[:, None, :], a_sin[:, None, :])
+
     # write the chunk's token ids, then build the repetition-penalty presence
     # mask fully on device (no host-side vocab bitmask upload)
     ids_arena = jax.lax.dynamic_update_slice(ids_arena, tokens, (insert_at,))
@@ -157,18 +167,21 @@ def chunk_step(
 
     # ---- chunk prefill: arena is READ-ONLY; the block's K/V come back as
     # [L, T, Hkv, hd] and merge with one dynamic_update_slice
-    hidden, (k_block, v_block) = language.language_forward_streaming(
+    hidden, (k_block, k_block_rot, v_block) = language.language_forward_streaming(
         tcfg,
         params["text"],
         embeds,
         q_pos,
-        arena=(k_arena, v_arena),
-        arena_positions=slot_positions,
+        arena=(k_rot, v_arena),
+        arena_rotated=True,
         visible_len=insert_at,
     )
     adt = k_arena.dtype
     k_arena = jax.lax.dynamic_update_slice(
         k_arena, k_block.astype(adt), (0, insert_at, 0, 0)
+    )
+    k_rot = jax.lax.dynamic_update_slice(
+        k_rot, k_block_rot.astype(adt), (0, insert_at, 0, 0)
     )
     v_arena = jax.lax.dynamic_update_slice(
         v_arena, v_block.astype(adt), (0, insert_at, 0, 0)
@@ -185,7 +198,7 @@ def chunk_step(
     delta_shape = (L, statics.max_new, Hkv, hd)
 
     def decode_body(carry, step):
-        dk, dv, logits, presence, done, rng = carry
+        dk, dkr, dv, logits, presence, done, rng = carry
         rng, key = jax.random.split(rng)
         if statics.eos_threshold is not None:
             tok_id, base, step_sz = statics.eos_threshold
@@ -211,28 +224,31 @@ def chunk_step(
 
         emb = language.embed_tokens(tcfg, params["text"], tok[None])
         pos = jax.lax.dynamic_slice(delta_pos, (0, step), (3, 1))
-        # arena (incl. the merged chunk block) + decode-delta-so-far; the
-        # arena is closed over, never carried -> no per-token copies
-        hidden, (k1, v1) = language.language_forward_streaming(
+        # arena (incl. the merged chunk block, pre-rotated) + decode-delta-so-
+        # far (also stored rotated); the arena is closed over, never carried
+        # -> no per-token copies, no per-token rotation work
+        hidden, (k1, k1_rot, v1) = language.language_forward_streaming(
             tcfg,
             params["text"],
             emb,
             pos,
-            arena=(k_arena, v_arena),
-            arena_positions=slot_positions,
+            arena=(k_rot, v_arena),
+            arena_rotated=True,
             visible_len=decode_base,
-            extra=(dk, dv),
-            extra_positions=delta_pos,
+            extra=(dkr, dv),
+            extra_rotated=True,
             extra_visible=step,
         )
         dk = jax.lax.dynamic_update_slice(dk, k1.astype(adt), (0, step, 0, 0))
+        dkr = jax.lax.dynamic_update_slice(dkr, k1_rot.astype(adt), (0, step, 0, 0))
         dv = jax.lax.dynamic_update_slice(dv, v1.astype(adt), (0, step, 0, 0))
         logits = language.lm_logits(tcfg, params["text"], hidden)[0]
-        return (dk, dv, logits, presence, now_done, rng), (emitted, done)
+        return (dk, dkr, dv, logits, presence, now_done, rng), (emitted, done)
 
-    (dk, dv, _, presence, _, _), (gen, was_done) = jax.lax.scan(
+    (dk, _, dv, _, presence, _, _), (gen, was_done) = jax.lax.scan(
         decode_body,
         (
+            jnp.zeros(delta_shape, adt),
             jnp.zeros(delta_shape, adt),
             jnp.zeros(delta_shape, adt),
             logits0,

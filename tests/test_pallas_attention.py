@@ -57,6 +57,15 @@ def test_prefill_attention_matches_reference(T, C, visible):
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
+    # pre-rotated mode: rotate the arena K outside, pass acos2/asin2 = None
+    half = hd // 2
+    r = jnp.concatenate([-ka[..., half:], ka[..., :half]], axis=-1)
+    ka_rot = ka * acos2[:, None, :] + r * asin2[:, None, :]
+    out_pr = streaming_prefill_attention(
+        q, ka_rot, va, None, None, ks, vs, vis, t_b=64, c_b=256, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out_pr), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
 
 def test_language_forward_streaming_pallas_matches_jnp():
     """Full streaming prefill with pallas (interpret) == jnp path."""
@@ -84,15 +93,32 @@ def test_language_forward_streaming_pallas_matches_jnp():
     va = jnp.asarray(rng.normal(size=(tcfg.num_hidden_layers, C, tcfg.num_key_value_heads, 64)) * 0.1, jnp.float32)
     vis = jnp.asarray(300, jnp.int32)
 
-    h_ref, (kb_ref, vb_ref) = language.language_forward_streaming(
+    h_ref, (kb_ref, kbr_ref, vb_ref) = language.language_forward_streaming(
         tcfg, {"layers": params["layers"], "final_ln": params["final_ln"]},
         embeds, qpos, arena=(ka, va), arena_positions=apos, visible_len=vis,
         use_pallas=False,
     )
-    h_pal, (kb, vb) = language.language_forward_streaming(
+    h_pal, (kb, kbr, vb) = language.language_forward_streaming(
         tcfg, {"layers": params["layers"], "final_ln": params["final_ln"]},
         embeds, qpos, arena=(ka, va), arena_positions=apos, visible_len=vis,
         use_pallas=True,
     )
     np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_ref), atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(kb), np.asarray(kb_ref), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(kbr), np.asarray(kbr_ref), atol=1e-5, rtol=1e-5)
+
+    # pre-rotated arena mode (what the engine uses): rotate K once outside
+    from streaming_vlm_tpu.models.qwen25_vl.rope import (
+        apply_rope, make_inv_freq, mrope_cos_sin,
+    )
+
+    inv_freq = jnp.asarray(make_inv_freq(tcfg.head_dim, tcfg.rope_theta))
+    a_cos, a_sin = mrope_cos_sin(apos, inv_freq, tcfg.mrope_section)
+    ka_rot = apply_rope(ka, a_cos[:, None, :], a_sin[:, None, :])
+    for up in (False, True):
+        h_pr, (kb_pr, _, _) = language.language_forward_streaming(
+            tcfg, {"layers": params["layers"], "final_ln": params["final_ln"]},
+            embeds, qpos, arena=(ka_rot, va), arena_rotated=True, visible_len=vis,
+            use_pallas=up,
+        )
+        np.testing.assert_allclose(np.asarray(h_pr), np.asarray(h_ref), atol=3e-5, rtol=1e-4)
