@@ -68,13 +68,16 @@ def main():
     import os
 
     params = model.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    if os.environ.get("SVT_QUANT", "int8") == "int8":
-        # W8A8 dynamic-quantized decode/prefill: halves weight HBM traffic and
-        # doubles MXU rate (decode is weight-bandwidth-bound at B=1).
-        # SVT_QUANT=none for the bf16 A/B.
+    quant = os.environ.get("SVT_QUANT", "int8")
+    if quant in ("int8", "int4"):
+        # Dynamic-activation-quantized decode/prefill: int8 halves weight HBM
+        # traffic (decode is weight-bandwidth-bound at B=1); int4 packs two
+        # weights per byte (text tower only). SVT_QUANT=none for the bf16 A/B.
         from streaming_vlm_tpu.ops.quant import quantize_model_params
 
-        params = quantize_model_params(params, donate=True)
+        params = quantize_model_params(
+            params, donate=True, text_bits=4 if quant == "int4" else 8
+        )
     params = jax.tree.map(jax.block_until_ready, params)
 
     engine = StreamingEngine(cfg, params, stream, sampling, dtype=jnp.bfloat16)

@@ -371,12 +371,10 @@ def embed_tokens(cfg: TextConfig, params: Params, input_ids: jnp.ndarray) -> jnp
 
 def lm_logits(cfg: TextConfig, params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     """[T, D] -> [T, V] float32 logits."""
-    from ...ops.quant import qdot
-
     if "lm_head_q" in params:  # quantized copy of the tied embedding.T
-        return qdot(hidden, params["lm_head_q"], out_dtype=jnp.float32)
+        return mm(hidden, params["lm_head_q"], out_dtype=jnp.float32)
     if not cfg.tie_word_embeddings and isinstance(params.get("lm_head"), dict):
-        return qdot(hidden, params["lm_head"], out_dtype=jnp.float32)
+        return mm(hidden, params["lm_head"], out_dtype=jnp.float32)
     w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
     return jnp.dot(hidden, w, preferred_element_type=jnp.float32)
 

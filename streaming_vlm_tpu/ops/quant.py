@@ -73,8 +73,108 @@ def quantize_weight(
     return fn(w, contract_axis=ax)
 
 
+INT4_GROUP = 128  # contract-dim rows per int4 scale group
+
+
+@partial(jax.jit, static_argnames=("contract_axis", "group"))
+def _quantize_weight_int4(w, *, contract_axis, group):
+    # move the contract axis to -2 for uniform handling, restore at the end
+    wf = jnp.moveaxis(w.astype(jnp.float32), contract_axis, -2)
+    *lead, D, F = wf.shape
+    ng = D // group
+    wg = wf.reshape(*lead, ng, group, F)
+    s = jnp.max(jnp.abs(wg), axis=-2, keepdims=True) / 7.0  # [*, ng, 1, F]
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(wg / s), -7, 7).astype(jnp.int8).reshape(*lead, D, F)
+    # pack contract-dim pairs into one byte: row 2d -> low nibble, 2d+1 -> high
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    packed = (lo & 0xF) | (hi << 4)
+    return {
+        "q4": jnp.moveaxis(packed, -2, contract_axis),
+        "s": s[..., 0, :],  # [*, ng, F]
+    }
+
+
+def quantize_weight_int4(
+    w: jnp.ndarray, *, contract_axis: int = -2, group: int = INT4_GROUP
+) -> Dict[str, jnp.ndarray]:
+    """Symmetric group-wise int4 quantization, two values packed per int8
+    byte along the CONTRACT axis (so the matmul can unpack into two
+    half-depth s8 x s8 dots without re-interleaving). Scales are per
+    (contract-group, output-channel) — `group` rows share one scale, the
+    standard int4 accuracy fix over per-channel scaling. Returns
+    {"q4": int8 [..., D/2, F], "s": f32 [..., D/group, F]}. Decode at B=1 is
+    weight-bandwidth-bound: int4 halves HBM traffic again vs int8 at the
+    cost of a nibble unpack (shift VPU ops) feeding the MXU."""
+    ax = contract_axis if contract_axis >= 0 else w.ndim + contract_axis
+    D = w.shape[ax]
+    assert D % 2 == 0, (w.shape, ax)
+    g = group if D % group == 0 else D
+    return _quantize_weight_int4(w, contract_axis=ax, group=g)
+
+
+def qdot4(
+    x: jnp.ndarray,  # [T, D]
+    qt: Dict[str, jnp.ndarray],  # {"q4": [D//2, F] int8 packed, "s": [ng, F]}
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Dynamic-activation int8 x packed-int4 matmul with group-wise weight
+    scales. The even/odd split of the contraction keeps the unpacked nibbles
+    as two [D/2, F] operands (sign extension = two shifts, no [D, F]
+    re-interleave); grouping splits the contraction into ng partial s8 dots:
+      x @ W = sum_g (x_even_g @ W_lo_g + x_odd_g @ W_hi_g) * s_g"""
+    packed = qt["q4"]  # [D/2, F]
+    s = qt["s"]  # [ng, F]
+    D2, F = packed.shape[-2], packed.shape[-1]
+    D = 2 * D2
+    ng = s.shape[-2]
+    group = D // ng
+    xf = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0  # [T, 1]
+    sx = jnp.maximum(sx, 1e-12)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    # numpy shift semantics: >> on signed int8 is arithmetic (sign-extending)
+    w_lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    w_hi = jnp.right_shift(packed, 4)
+    T = xq.shape[0]
+    if T >= 32:
+        # prefill-shaped: compute-bound, so skip activation quantization and
+        # dequantize W to bf16 once ([D, F] interleave materialises, ~2x the
+        # packed bytes — cheap at large T, and the MXU runs a plain bf16 dot)
+        q_full = jnp.stack([w_lo, w_hi], axis=-2).reshape(D, F)
+        w_bf = (
+            q_full.reshape(ng, group, F).astype(jnp.float32) * s[:, None, :]
+        ).reshape(D, F).astype(jnp.bfloat16)
+        out = jnp.dot(x.astype(jnp.bfloat16), w_bf, preferred_element_type=jnp.float32)
+        return out.astype(out_dtype or x.dtype)
+    if ng == 1:
+        dn = (((1,), (0,)), ((), ()))
+        acc = jax.lax.dot_general(
+            xq[:, 0::2], w_lo, dimension_numbers=dn, preferred_element_type=jnp.int32
+        ) + jax.lax.dot_general(
+            xq[:, 1::2], w_hi, dimension_numbers=dn, preferred_element_type=jnp.int32
+        )
+        out = acc.astype(jnp.float32) * (sx * s)
+    else:
+        # batched over groups: [ng, T, group/2] x [ng, group/2, F] -> [ng, T, F]
+        xg = xq.reshape(T, ng, group)
+        xe = xg[..., 0::2].transpose(1, 0, 2)
+        xo = xg[..., 1::2].transpose(1, 0, 2)
+        wl = w_lo.reshape(ng, group // 2, F)
+        wh = w_hi.reshape(ng, group // 2, F)
+        dn = (((2,), (1,)), ((0,), (0,)))
+        acc = jax.lax.dot_general(
+            xe, wl, dimension_numbers=dn, preferred_element_type=jnp.int32
+        ) + jax.lax.dot_general(
+            xo, wh, dimension_numbers=dn, preferred_element_type=jnp.int32
+        )  # [ng, T, F]
+        out = jnp.sum(acc.astype(jnp.float32) * s[:, None, :], axis=0) * sx
+    return out.astype(out_dtype or x.dtype)
+
+
 def is_qtensor(w) -> bool:
-    return isinstance(w, dict) and "q" in w and "s" in w
+    return isinstance(w, dict) and ("q" in w or "q4" in w) and "s" in w
 
 
 def qdot(
@@ -99,37 +199,44 @@ def qdot(
 
 
 def mm(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
-    """Matmul that dispatches on the weight's representation: QTensor dict ->
-    dynamic W8A8 path, plain array -> jnp.dot. The single seam through which
-    every language-model weight is applied (quantization is a parameter-tree
-    transform, not a model rewrite)."""
+    """Matmul that dispatches on the weight's representation: int8 QTensor ->
+    dynamic W8A8 path, int4 QTensor -> W4A8 path, plain array -> jnp.dot. The
+    single seam through which every language-model weight is applied
+    (quantization is a parameter-tree transform, not a model rewrite)."""
     if is_qtensor(w):
+        if "q4" in w:
+            return qdot4(x, w, out_dtype=out_dtype)
         return qdot(x, w, out_dtype=out_dtype)
     r = jnp.dot(x, w, preferred_element_type=out_dtype) if out_dtype else jnp.dot(x, w)
     return r
 
 
-def quantize_language_params(params_text: Params, *, donate: bool = False) -> Params:
+def quantize_language_params(
+    params_text: Params, *, donate: bool = False, bits: int = 8
+) -> Params:
     """Quantize the decoder-layer weights + lm_head of a language-model
     parameter tree (models/qwen25_vl/language.py layout). Keeps embed /
     biases / norms in their original dtype; tied embeddings get a separate
     quantized lm_head copy ("lm_head_q") while the bf16 embedding table stays
     for token gathers. `donate=True` frees each bf16 weight as it is
     converted (halves peak HBM during conversion; the input tree becomes
-    unusable)."""
+    unusable). `bits=4` packs two values per byte (quarter the bf16 traffic —
+    decode at B=1 is weight-bandwidth-bound) with per-output-channel scales."""
+    assert bits in (4, 8), bits
+    qw = (
+        (lambda w, donate=False: quantize_weight_int4(w, contract_axis=-2))
+        if bits == 4
+        else (lambda w, donate=False: quantize_weight(w, contract_axis=-2, donate=donate))
+    )
     out = dict(params_text)
     layers = dict(params_text["layers"])
     for k in LAYER_WEIGHTS:
-        layers[k] = quantize_weight(layers[k], contract_axis=-2, donate=donate)
+        layers[k] = qw(layers[k], donate=donate)
     out["layers"] = layers
     if "lm_head" in params_text:
-        out["lm_head"] = quantize_weight(
-            params_text["lm_head"], contract_axis=-2, donate=donate
-        )
+        out["lm_head"] = qw(params_text["lm_head"], donate=donate)
     else:  # tied embeddings: quantize embed.T for the logits projection
-        out["lm_head_q"] = quantize_weight(
-            params_text["embed"].T, contract_axis=-2
-        )
+        out["lm_head_q"] = qw(params_text["embed"].T)
     return out
 
 
@@ -151,9 +258,14 @@ def quantize_vision_params(params_vision: Params, *, donate: bool = False) -> Pa
     return out
 
 
-def quantize_model_params(params: Params, *, donate: bool = False) -> Params:
-    """Quantize a full VLM parameter tree ({"vision", "text"})."""
+def quantize_model_params(
+    params: Params, *, donate: bool = False, text_bits: int = 8
+) -> Params:
+    """Quantize a full VLM parameter tree ({"vision", "text"}). The vision
+    tower stays int8 regardless of `text_bits` — it is compute-bound (near
+    bf16-MXU roofline at the default grid), so int4's extra unpack work would
+    cost more than its traffic saving buys."""
     return {
         "vision": quantize_vision_params(params["vision"], donate=donate),
-        "text": quantize_language_params(params["text"], donate=donate),
+        "text": quantize_language_params(params["text"], donate=donate, bits=text_bits),
     }

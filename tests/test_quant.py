@@ -112,3 +112,63 @@ def test_quantized_vision_fidelity():
     assert rel < 0.05, rel
     agree = (full.argmax(-1) == quant.argmax(-1)).mean()
     assert agree >= 0.85, agree
+
+
+def test_qdot4_accuracy():
+    """int4 even/odd-packed matmul vs exact and vs explicit dequantization."""
+    from streaming_vlm_tpu.ops.quant import qdot4, quantize_weight_int4
+
+    k = jax.random.PRNGKey(2)
+    kx, kw = jax.random.split(k)
+    x = jax.random.normal(kx, (16, 256), jnp.float32)
+    w = jax.random.normal(kw, (256, 512), jnp.float32) * 0.02
+    qt = quantize_weight_int4(w)
+    assert qt["q4"].shape == (128, 512) and qt["q4"].dtype == jnp.int8
+
+    # explicit dequantization oracle: unpack nibbles, re-interleave
+    p = np.asarray(qt["q4"]).astype(np.int8)
+    lo = ((p.astype(np.int32) << 28) >> 28).astype(np.int8)  # sign-extended low
+    hi = (p >> 4).astype(np.int8)
+    q_full = np.zeros((256, 512), np.int8)
+    q_full[0::2] = lo
+    q_full[1::2] = hi
+    s_full = np.repeat(np.asarray(qt["s"]), 256 // qt["s"].shape[0], axis=0)
+    w_deq = q_full.astype(np.float32) * s_full
+    exact = x @ w
+    ref = np.asarray(x) @ w_deq
+
+    approx = qdot4(x, qt, out_dtype=jnp.float32)
+    # matches its own dequantized weights up to activation-quant noise
+    rel_deq = float(np.linalg.norm(np.asarray(approx) - ref) / np.linalg.norm(ref))
+    assert rel_deq < 0.01, rel_deq
+    # int4 noise vs exact stays bounded
+    rel = float(jnp.linalg.norm(approx - exact) / jnp.linalg.norm(exact))
+    assert rel < 0.14, rel  # inherent int4 RTN noise on gaussian weights
+    # (group-128 absmax: step ~0.4*sigma -> ~11.5% elementwise, matmul-invariant)
+
+    # mm() dispatches on the packed representation
+    via_mm = mm(x, qt, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(via_mm), np.asarray(approx))
+
+
+def test_int4_language_params_logit_fidelity():
+    """Tiny model: int4-quantized stacked layers still track bf16 logits."""
+    params = model.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q4 = {
+        "vision": params["vision"],
+        "text": quantize_language_params(params["text"], bits=4),
+    }
+    T = 16
+    ids = jnp.arange(T, dtype=jnp.int32) % CFG.text.vocab_size
+    pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.float32), (3, T))
+    emb = language.embed_tokens(CFG.text, params["text"], ids)
+    h = language.language_forward(CFG.text, params["text"], emb, pos)
+    lg = language.lm_logits(CFG.text, params["text"], h)
+    emb4 = language.embed_tokens(CFG.text, q4["text"], ids)
+    h4 = language.language_forward(CFG.text, q4["text"], emb4, pos)
+    lg4 = language.lm_logits(CFG.text, q4["text"], h4)
+    rel = float(jnp.linalg.norm(lg4 - lg) / jnp.linalg.norm(lg))
+    assert rel < 0.3, rel  # int4 noise compounds over layers; bounded drift
+    # NOTE: top-1 agreement is meaningless on random weights (near-uniform
+    # logits); real-checkpoint int4 quality is a deployment-time decision —
+    # the framework keeps int8 as the default (SVT_QUANT=int8).
