@@ -144,6 +144,52 @@ def _gqa_attention(q, k, v, mask):
     return _gqa_attention_multi(q, [(k, v, mask)])
 
 
+def _decode_attention_merge(
+    q: jnp.ndarray,  # [1, H, hd] rotated (unscaled)
+    small_parts,  # list of (k [S, Hkv, hd] rotated, v, mask [1, S]) — tiny
+    ak: jnp.ndarray,  # [C, Hkv, hd] pre-rotated arena K
+    av: jnp.ndarray,
+    visible_len,
+    *,
+    c_b: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Decode attention = pallas partials over the big arena + exact jnp
+    softmax over the tiny parts (decode delta + the token itself), merged in
+    log2 space. Numerically identical to one softmax over the concatenated
+    keys (same online-softmax algebra as the prefill kernel)."""
+    from ...ops.attention import LOG2E, NEG_INF, streaming_decode_attention
+
+    _, H, hd = q.shape
+    Hkv = ak.shape[1]
+    G = H // Hkv
+    m_a, l_a, acc_a = streaming_decode_attention(
+        q[0], ak, av, visible_len, c_b=c_b, interpret=interpret
+    )  # [H], [H], [H, hd]  (log2-space)
+
+    scale2 = LOG2E / np.sqrt(hd)
+    qg = q.reshape(Hkv, G, hd)
+    ks = jnp.concatenate([k for k, _, _ in small_parts], axis=0)  # [S, Hkv, hd]
+    vs = jnp.concatenate([v for _, v, _ in small_parts], axis=0)
+    msk = jnp.concatenate([m[0] for _, _, m in small_parts], axis=0)  # [S]
+    lg = jnp.einsum(
+        "kgd,skd->kgs", qg.astype(jnp.float32), ks.astype(jnp.float32)
+    ) * scale2
+    lg = jnp.where(msk[None, None, :], lg, NEG_INF)
+    m_b = jnp.max(lg, axis=-1).reshape(H)
+    p = jnp.exp2(lg - m_b.reshape(Hkv, G, 1))
+    l_b = jnp.sum(p, axis=-1).reshape(H)
+    acc_b = jnp.einsum("kgs,skd->kgd", p, vs.astype(jnp.float32)).reshape(H, hd)
+
+    m_ab = jnp.maximum(m_a, m_b)
+    wa = jnp.exp2(m_a - m_ab)
+    wb = jnp.exp2(m_b - m_ab)
+    l_tot = l_a * wa + l_b * wb
+    acc = acc_a * wa[:, None] + acc_b * wb[:, None]
+    out = acc / jnp.maximum(l_tot, 1e-20)[:, None]
+    return out.reshape(1, H * hd).astype(av.dtype)
+
+
 def _layer_body(
     cfg: TextConfig,
     hidden: jnp.ndarray,
@@ -154,6 +200,8 @@ def _layer_body(
     self_mask,  # [T, T] mask over the block's own keys (causal)
     context,  # list of (k [S,Hkv,hd], v [S,Hkv,hd], cos [S,f], sin [S,f], mask [T,S]);
     # cos=None marks a PRE-ROTATED k source (rotation skipped)
+    arena_kernel=None,  # (ak, av, visible_len, c_b, interpret): route the
+    # FIRST context source through the pallas decode kernel (T=1 only)
 ):
     """One decoder layer: attention over read-only context KV sources plus the
     block's own (new) K/V. Returns (hidden, k_new, k_new_rot, v_new). Context
@@ -183,7 +231,15 @@ def _layer_body(
     k_new_rot = apply_rope(k_new, q_cos[:, None, :], q_sin[:, None, :])
     parts.append((k_new_rot, v_new, self_mask))
 
-    attn = _gqa_attention_multi(q, parts)
+    if arena_kernel is not None:
+        # `context` held only the small sources (delta); arena reads happen
+        # inside the pallas kernel and merge with the small parts' softmax
+        ak, av, vis, c_b, interpret = arena_kernel
+        attn = _decode_attention_merge(
+            q, parts, ak, av, vis, c_b=c_b, interpret=interpret
+        )
+    else:
+        attn = _gqa_attention_multi(q, parts)
     hidden = hidden + mm(attn, lp["o_w"])
     x = rms_norm(hidden, lp["post_ln"], cfg.rms_norm_eps)
     hidden = hidden + swiglu(x, lp["gate_w"], lp["up_w"], lp["down_w"])
@@ -334,11 +390,37 @@ def language_forward_streaming(
             (jnp.arange(E) < extra_visible)[None, :], (T, E)
         )
 
+        # Decode (T=1) arena attention through the pallas partial-softmax
+        # kernel + outside merge. MEASURED SLOWER than the fused-jnp
+        # multi-source softmax on v5e (8.24 vs 8.35 FPS e2e): the per-layer
+        # pallas dispatch inside the double scan plus the merge's extra small
+        # ops outweigh the kernel's bandwidth win at Hkv=2, C=10240. Kept
+        # opt-in via SVT_USE_PALLAS_DECODE=1 (correctness-tested); default
+        # stays on the jnp path.
+        import os
+
+        use_decode_kernel = (
+            os.environ.get("SVT_USE_PALLAS_DECODE", "0") == "1"
+            and jax.default_backend() in ("tpu", "axon")
+            and T == 1
+            and arena_rotated
+            and extra_rotated
+            and C % 1024 == 0
+        )
+        dec_cb = 2048 if C % 2048 == 0 else 1024
+        dec_interp = jax.default_backend() not in ("tpu", "axon")
+
         def scan_fn(hidden, xs):
             lp, ak, av, ek, ev = xs
-            ctx = [(ak, av, a_cos, a_sin, arena_mask), (ek, ev, e_cos, e_sin, extra_mask)]
+            if use_decode_kernel:
+                ctx = [(ek, ev, e_cos, e_sin, extra_mask)]
+                ak_kernel = (ak, av, visible_len, dec_cb, dec_interp)
+            else:
+                ctx = [(ak, av, a_cos, a_sin, arena_mask), (ek, ev, e_cos, e_sin, extra_mask)]
+                ak_kernel = None
             hidden, kn, knr, vn = _layer_body(
-                cfg, hidden, lp, q_cos=q_cos, q_sin=q_sin, self_mask=self_mask, context=ctx
+                cfg, hidden, lp, q_cos=q_cos, q_sin=q_sin, self_mask=self_mask,
+                context=ctx, arena_kernel=ak_kernel,
             )
             return hidden, (kn, knr, vn)
 

@@ -48,6 +48,10 @@ def _encode_video_jit(cfg: ModelConfig, grid_thw: Tuple[Tuple[int, int, int], ..
     full_seg = jnp.asarray(geo["full_seg"])
 
     uniform_window = int(geo.get("uniform_window", 0))
+    # ragged windows: padded-batch varlen layout (see _padded_window_attention)
+    pad_gather = jnp.asarray(geo["pad_gather"]) if "pad_gather" in geo else None
+    pad_mask = jnp.asarray(geo["pad_mask"]) if "pad_mask" in geo else None
+    back_gather = jnp.asarray(geo["back_gather"]) if "back_gather" in geo else None
 
     @jax.jit
     def run(vision_params, pixel_patches):
@@ -61,6 +65,9 @@ def _encode_video_jit(cfg: ModelConfig, grid_thw: Tuple[Tuple[int, int, int], ..
             win_seg=win_seg,
             full_seg=full_seg,
             uniform_window=uniform_window,
+            pad_gather=pad_gather,
+            pad_mask=pad_mask,
+            back_gather=back_gather,
         )
 
     return run

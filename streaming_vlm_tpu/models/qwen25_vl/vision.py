@@ -20,7 +20,7 @@ Parity targets (file:line in /root/reference):
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -136,7 +136,7 @@ def vision_geometry(
     # as batched block-diagonal attention (reshape, no [S, S] mask)
     uniform = int(win_seqlens[0]) if len(set(win_seqlens)) == 1 else 0
 
-    return {
+    geo = {
         "pos_ids": pos_ids.astype(np.int32),
         "window_index": window_index.astype(np.int32),
         "patch_perm": patch_perm.astype(np.int32),
@@ -146,6 +146,26 @@ def vision_geometry(
         "seq_len": S,
         "uniform_window": uniform,
     }
+    if not uniform:
+        # ragged windows (image edge remainders): TPU-native varlen layout =
+        # gather into a [n_win, w_pad] PADDED batch + key mask (static shapes,
+        # batched MXU attention) instead of flash-attn's cu_seqlens varlen
+        # kernel (ref vision_forward.py:33). Memory: S*w_pad logits instead of
+        # the [S, S] segment-mask form.
+        n_win = len(win_seqlens)
+        w_pad = -(-max(win_seqlens) // 8) * 8  # sublane-friendly
+        offs = np.concatenate([[0], np.cumsum(win_seqlens)[:-1]]).astype(np.int64)
+        pad_gather = np.zeros((n_win, w_pad), np.int32)
+        pad_mask = np.zeros((n_win, w_pad), bool)
+        back_gather = np.zeros(S, np.int32)
+        for i, (o, ln) in enumerate(zip(offs, win_seqlens)):
+            pad_gather[i, :ln] = o + np.arange(ln)
+            pad_mask[i, :ln] = True
+            back_gather[o : o + ln] = i * w_pad + np.arange(ln)
+        geo["pad_gather"] = pad_gather.reshape(-1)
+        geo["pad_mask"] = pad_mask
+        geo["back_gather"] = back_gather
+    return geo
 
 
 def vision_rope_angles(
@@ -294,6 +314,28 @@ def _windowed_attention(q, k, v, w: int):
     return out.reshape(S, H * hd)
 
 
+def _padded_window_attention(q, k, v, pad_gather, pad_mask, back_gather):
+    """Varlen windowed attention via a PADDED [n_win, w_pad] batch — the
+    TPU-native equivalent of flash-attn's cu_seqlens varlen call (ref
+    vision_forward.py:33): two gathers + static-shape batched attention with
+    a key mask, instead of either a dynamic-length kernel or the [S, S]
+    segment mask (whose logits are S/w_pad times larger)."""
+    S, H, hd = q.shape
+    n, w_pad = pad_mask.shape
+    scale = 1.0 / np.sqrt(hd)
+    qw = jnp.take(q, pad_gather, axis=0).reshape(n, w_pad, H, hd)
+    kw = jnp.take(k, pad_gather, axis=0).reshape(n, w_pad, H, hd)
+    vw = jnp.take(v, pad_gather, axis=0).reshape(n, w_pad, H, hd)
+    logits = (
+        jnp.einsum("nthd,nshd->nhts", qw, kw, preferred_element_type=jnp.float32)
+        * scale
+    )
+    logits = jnp.where(pad_mask[:, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("nhts,nshd->nthd", probs, vw).reshape(n * w_pad, H * hd)
+    return jnp.take(out, back_gather, axis=0)
+
+
 def vision_forward(
     cfg: VisionConfig,
     params: Params,
@@ -305,6 +347,9 @@ def vision_forward(
     win_seg: jnp.ndarray,  # [S] int32
     full_seg: jnp.ndarray,  # [S] int32
     uniform_window: int = 0,  # >0: windows are uniform -> block-diagonal fast path
+    pad_gather: Optional[jnp.ndarray] = None,  # [n_win*w_pad] ragged-window batch
+    pad_mask: Optional[jnp.ndarray] = None,  # [n_win, w_pad] bool
+    back_gather: Optional[jnp.ndarray] = None,  # [S]
 ) -> jnp.ndarray:
     """Encode patches -> merged vision embeddings [S // merge_unit, out_hidden].
 
@@ -353,6 +398,14 @@ def vision_forward(
                 full_flag,
                 lambda: _vision_attention(q, k, v, full_mask),
                 lambda: _windowed_attention(q, k, v, uniform_window),
+            )
+        elif pad_gather is not None:
+            attn = jax.lax.cond(
+                full_flag,
+                lambda: _vision_attention(q, k, v, full_mask),
+                lambda: _padded_window_attention(
+                    q, k, v, pad_gather, pad_mask, back_gather
+                ),
             )
         else:
             attn = _vision_attention(q, k, v, mask)

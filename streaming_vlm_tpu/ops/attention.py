@@ -44,6 +44,161 @@ NEG_INF = -1e30
 LOG2E = 1.4426950408889634
 
 
+# ---------------------------------------------------------------------------
+# Decode attention (T=1) over the pre-rotated arena
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(
+    visible_ref,  # [1] int32 scalar prefetch
+    qp_ref,  # [R, Hkv*hd] block-diagonal Q' (pre-scaled by scale*log2e)
+    ka_ref,  # [c_b, Hkv, hd] tile
+    va_ref,  # [c_b, Hkv, hd] tile
+    m_out,  # [R, 128]
+    l_out,  # [R, 128]
+    acc_out,  # [R, hd]
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    n_tiles: int,
+    c_b: int,
+    hkv: int,
+    g: int,
+    hd: int,
+):
+    ik = pl.program_id(0)
+    R = hkv * g
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    vis = visible_ref[0]
+
+    def accumulate(mask):
+        k = ka_ref[...].reshape(c_b, hkv * hd)
+        # Q' is block-diagonal over kv heads, so one [R, Hkv*hd] x [Hkv*hd,
+        # c_b] dot yields per-(kv-head, group) logits without transposing the
+        # arena tile (rows r = h*G+g read only their head's channels)
+        logits = jax.lax.dot_general(
+            qp_ref[...].astype(k.dtype),
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, c_b], log2-space
+        if mask is not None:
+            logits = jnp.where(mask, logits, NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+        p = jnp.exp2(logits - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_ref[:, :1] = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        v = va_ref[...].reshape(c_b, hkv * hd)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, Hkv*hd]
+        # keep only each row's own kv-head block
+        row_head = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) // g
+        own = jnp.zeros((R, hd), jnp.float32)
+        for h in range(hkv):
+            own = own + jnp.where(
+                row_head == h, pv[:, h * hd : (h + 1) * hd], 0.0
+            )
+        acc_ref[:] = acc_ref[:] * alpha + own
+        m_ref[:, :1] = m_new
+
+    @pl.when((ik + 1) * c_b <= vis)
+    def _interior():
+        accumulate(None)
+
+    @pl.when(((ik + 1) * c_b > vis) & (ik * c_b < vis))
+    def _boundary():
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, c_b), 1)
+        accumulate((ik * c_b + col) < vis)
+
+    @pl.when(ik == n_tiles - 1)
+    def _finish():
+        m_out[:] = jnp.broadcast_to(m_ref[:, :1], m_out.shape)
+        l_out[:] = jnp.broadcast_to(l_ref[:, :1], l_out.shape)
+        acc_out[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("c_b", "interpret"))
+def streaming_decode_attention(
+    q_rot: jnp.ndarray,  # [H, hd] rotated single-token queries (unscaled)
+    k_arena: jnp.ndarray,  # [C, Hkv, hd] PRE-ROTATED arena K
+    v_arena: jnp.ndarray,  # [C, Hkv, hd]
+    visible_len: jnp.ndarray,  # scalar int32
+    *,
+    c_b: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Partial (unnormalised) flash attention of ONE token over the arena.
+
+    Returns log2-space online-softmax partials (m [H], l [H], acc [H, hd])
+    for the caller to merge with the decode-delta/self parts (tiny, computed
+    exactly outside). This is the TPU replacement for the reference's
+    flash-attn decode call (language_forward.py:242-252): decode reads
+    ~10 MB of K/V per layer per token, so the kernel's job is to stream the
+    arena at HBM speed with the MXU doing one [R, Hkv*hd] dot per tile."""
+    H, hd = q_rot.shape
+    C, Hkv, _ = k_arena.shape
+    G = H // Hkv
+    assert C % c_b == 0, (C, c_b)
+    n_tiles = C // c_b
+    # block-diagonal Q': row h*G+g holds q[h*G+g] in channel block h
+    qs = (q_rot.astype(jnp.float32) * (LOG2E / float(np.sqrt(hd)))).reshape(
+        Hkv, G, hd
+    )
+    eye = jnp.eye(Hkv, dtype=qs.dtype)
+    qp = (qs[:, :, None, :] * eye[:, None, :, None]).reshape(H, Hkv * hd)
+
+    grid = (n_tiles,)
+
+    def clamp(ik, vis):
+        last_vis = jnp.maximum((vis[0] + c_b - 1) // c_b - 1, 0)
+        return jnp.clip(ik, 0, jnp.minimum(last_vis, n_tiles - 1))
+
+    kernel = functools.partial(
+        _decode_kernel, n_tiles=n_tiles, c_b=c_b, hkv=Hkv, g=G, hd=hd
+    )
+    m, l, acc = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((H, Hkv * hd), lambda ik, vis: (0, 0)),
+                pl.BlockSpec((c_b, Hkv, hd), lambda ik, vis: (clamp(ik, vis), 0, 0)),
+                pl.BlockSpec((c_b, Hkv, hd), lambda ik, vis: (clamp(ik, vis), 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((H, 128), lambda ik, vis: (0, 0)),
+                pl.BlockSpec((H, 128), lambda ik, vis: (0, 0)),
+                pl.BlockSpec((H, hd), lambda ik, vis: (0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((H, 128), jnp.float32),
+                pltpu.VMEM((H, 128), jnp.float32),
+                pltpu.VMEM((H, hd), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((H, 128), jnp.float32),
+            jax.ShapeDtypeStruct((H, 128), jnp.float32),
+            jax.ShapeDtypeStruct((H, hd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(visible_len, jnp.int32).reshape(1), qp, k_arena, v_arena)
+    return m[:, 0], l[:, 0], acc
+
+
 def _flash_kernel(
     # scalar prefetch
     visible_ref,  # [1] int32 — arena slots < visible are attendable

@@ -44,7 +44,12 @@ def positions_from_descriptors(desc: Dict[str, jnp.ndarray], capacity: int) -> j
     chunk instead of [3, C] float32. Slots beyond the last real segment get
     garbage positions but are invisible to attention."""
     slot = jnp.arange(capacity, dtype=jnp.int32)
-    sid = jnp.clip(jnp.searchsorted(desc["starts"], slot, side="right") - 1, 0, None)
+    # segment id by counting starts <= slot (descriptor table is sorted;
+    # unused rows are padded with 2**30). The [C, max_segs] compare+reduce
+    # beats lax.searchsorted's gather-based lowering ~2x on v5e
+    # (tools/profile_variants.py).
+    sid = jnp.sum(desc["starts"][None, :] <= slot[:, None], axis=1) - 1
+    sid = jnp.clip(sid, 0, None)
     off = slot - desc["starts"][sid]
     gh = desc["ghs"][sid]
     gw = desc["gws"][sid]
@@ -65,10 +70,16 @@ def compact_arena(
     ids_arena: jnp.ndarray,  # [C] int32
     src_idx: jnp.ndarray,  # [C] int32 (padded with anything beyond new_len)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Gather arena slots: new[:, i] = old[:, src_idx[i]]. One sweep per chunk."""
+    """Gather arena slots: new[:, i] = old[:, src_idx[i]]. One sweep per chunk.
+    The rank-3 view gathers ~15% faster than the 4D take on v5e
+    (tools/profile_variants.py); dispatched right after the eviction plan so
+    the device compacts WHILE the host assembles the next prompt."""
+    shp = k_arena.shape
+    k3 = k_arena.reshape(shp[0], shp[1], -1)
+    v3 = v_arena.reshape(shp[0], shp[1], -1)
     return (
-        jnp.take(k_arena, src_idx, axis=1),
-        jnp.take(v_arena, src_idx, axis=1),
+        jnp.take(k3, src_idx, axis=1).reshape(shp),
+        jnp.take(v3, src_idx, axis=1).reshape(shp),
         jnp.take(ids_arena, src_idx, axis=0),
     )
 
@@ -127,7 +138,13 @@ def chunk_step(
     """Returns (k_arena, v_arena, ids_arena, gen_tokens [max_new], n_gen,
     next_rng). The rng split lives IN the graph so the host never dispatches
     a separate tiny split computation per chunk (dispatch latency over the
-    tunnel is ~2.5 ms)."""
+    tunnel is ~2.5 ms).
+
+    MEASURED NEGATIVE RESULT (round 2): fusing the eviction gather into this
+    graph ("one dispatch per chunk") cost ~16 ms/chunk end-to-end — the
+    separate compact_arena dispatch runs on-device DURING host-side prompt
+    assembly, so its ~4 ms is free, and dispatch latency is already hidden
+    by the async pipeline. Keep compaction a separate dispatch."""
     rng, _chunk_key = jax.random.split(rng)
     cfg = statics.cfg
     tcfg = cfg.text
@@ -316,6 +333,8 @@ class StreamingEngine:
             self.k_arena = jax.device_put(self.k_arena, sh)
             self.v_arena = jax.device_put(self.v_arena, sh)
         self.ids_arena = jnp.zeros((C,), jnp.int32)
+        # identity gather for non-evicting chunks (uploaded once, reused)
+        self._ident_src = jnp.arange(C, dtype=jnp.int32)
         self.cached = 0  # arena slots holding valid KV (table prefix)
         # append mode: per-slot positions are assigned once and never
         # re-indexed (reference pos_mode='append', model_forward.py:112-153)
@@ -343,15 +362,16 @@ class StreamingEngine:
         VERDICT r1 weak #3). An identity gather over the all-zero arena is
         semantically a no-op but produces the exact executable the hot path
         uses."""
-        C = self.stream.kv_capacity
-        ident = jnp.arange(C, dtype=jnp.int32)
         self.k_arena, self.v_arena, self.ids_arena = compact_arena(
-            self.k_arena, self.v_arena, self.ids_arena, ident
+            self.k_arena, self.v_arena, self.ids_arena, self._ident_src
         )
         jax.block_until_ready(self.k_arena)
 
     def evict(self) -> None:
-        """Apply this round's eviction policy and compact the arena."""
+        """Apply this round's eviction policy and compact the arena. The
+        gather dispatches IMMEDIATELY (before prompt assembly): the device
+        compacts while the host builds the chunk — measured ~16 ms/chunk
+        faster than fusing the gather into chunk_step."""
         plan = self.table.evict(
             self.chunk_index,
             text_round=self.stream.text_round,

@@ -122,3 +122,39 @@ def test_language_forward_streaming_pallas_matches_jnp():
             use_pallas=up,
         )
         np.testing.assert_allclose(np.asarray(h_pr), np.asarray(h_ref), atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("visible", [0, 300, 512])
+def test_decode_attention_kernel_matches_jnp(visible):
+    """Pallas decode partials + log2 merge == joint-softmax jnp decode
+    (arena + delta + self token), interpret mode."""
+    from streaming_vlm_tpu.models.qwen25_vl.language import (
+        _decode_attention_merge,
+        _gqa_attention_multi,
+    )
+
+    Hkv, G, hd = 2, 4, 64
+    H = Hkv * G
+    C, E = 512, 24
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(1, H, hd)), jnp.float32)
+    ak = jnp.asarray(rng.normal(size=(C, Hkv, hd)), jnp.float32)
+    av = jnp.asarray(rng.normal(size=(C, Hkv, hd)), jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(E, Hkv, hd)), jnp.float32)
+    ev = jnp.asarray(rng.normal(size=(E, Hkv, hd)), jnp.float32)
+    ks = jnp.asarray(rng.normal(size=(1, Hkv, hd)), jnp.float32)
+    vs = jnp.asarray(rng.normal(size=(1, Hkv, hd)), jnp.float32)
+    vis = jnp.asarray(visible, jnp.int32)
+    e_vis = 7
+
+    arena_mask = jnp.broadcast_to((jnp.arange(C) < vis)[None, :], (1, C))
+    extra_mask = jnp.broadcast_to((jnp.arange(E) < e_vis)[None, :], (1, E))
+    self_mask = jnp.ones((1, 1), bool)
+    ref = _gqa_attention_multi(
+        q, [(ak, av, arena_mask), (ek, ev, extra_mask), (ks, vs, self_mask)]
+    )
+    out = _decode_attention_merge(
+        q, [(ek, ev, extra_mask), (ks, vs, self_mask)], ak, av, vis,
+        c_b=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
