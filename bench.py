@@ -21,6 +21,8 @@ import numpy as np
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -28,12 +30,20 @@ def main():
         SamplingConfig,
         StreamConfig,
         qwen25_vl_3b,
+        qwen25_vl_7b,
     )
     from streaming_vlm_tpu.models.qwen25_vl import model
     from streaming_vlm_tpu.streaming.engine import StreamingEngine
     from streaming_vlm_tpu.streaming.protocol import FakeTokenizer, PromptBuilder
 
-    cfg = qwen25_vl_3b()
+    ap = argparse.ArgumentParser()
+    # 3b is the driver's headline metric; 7b matches the reference checkpoint
+    # size (mit-han-lab/StreamingVLM is Qwen2.5-VL-7B — inference.py:531) and
+    # always runs int8 (bf16 7B does not fit a 16 GB v5e chip)
+    ap.add_argument("--model", choices=("3b", "7b"), default="3b")
+    args = ap.parse_args()
+
+    cfg = qwen25_vl_3b() if args.model == "3b" else qwen25_vl_7b()
     tok = cfg.tokens
 
     # default operating point
@@ -67,17 +77,23 @@ def main():
 
     import os
 
-    params = model.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    quant = os.environ.get("SVT_QUANT", "int8")
-    if quant in ("int8", "int4"):
-        # Dynamic-activation-quantized decode/prefill: int8 halves weight HBM
-        # traffic (decode is weight-bandwidth-bound at B=1); int4 packs two
-        # weights per byte (text tower only). SVT_QUANT=none for the bf16 A/B.
-        from streaming_vlm_tpu.ops.quant import quantize_model_params
+    if args.model == "7b":
+        # bf16 init + convert would OOM: build the tree directly quantized
+        from streaming_vlm_tpu.ops.quant import random_quantized_model_params
 
-        params = quantize_model_params(
-            params, donate=True, text_bits=4 if quant == "int4" else 8
-        )
+        params = random_quantized_model_params(cfg, jax.random.PRNGKey(0))
+    else:
+        params = model.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        quant = os.environ.get("SVT_QUANT", "int8")
+        if quant in ("int8", "int4"):
+            # Dynamic-activation-quantized decode/prefill: int8 halves weight
+            # HBM traffic (decode is weight-bandwidth-bound at B=1); int4
+            # packs two weights per byte. SVT_QUANT=none for the bf16 A/B.
+            from streaming_vlm_tpu.ops.quant import quantize_model_params
+
+            params = quantize_model_params(
+                params, donate=True, text_bits=4 if quant == "int4" else 8
+            )
     params = jax.tree.map(jax.block_until_ready, params)
 
     engine = StreamingEngine(cfg, params, stream, sampling, dtype=jnp.bfloat16)
@@ -190,7 +206,7 @@ def main():
     pallas_rel_err = float(num / den)
 
     result = {
-        "metric": "streaming_ingest_fps_3b_v5e1",
+        "metric": f"streaming_ingest_fps_{args.model}_v5e1",
         "value": round(ingest_fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(ingest_fps / 8.0, 3),

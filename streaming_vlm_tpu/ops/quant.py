@@ -258,6 +258,56 @@ def quantize_vision_params(params_vision: Params, *, donate: bool = False) -> Pa
     return out
 
 
+def random_quantized_model_params(cfg, key, dtype=jnp.bfloat16) -> Params:
+    """Random-init parameter tree built DIRECTLY in the int8-quantized layout
+    (structurally identical to quantize_model_params(model.init_params(...))).
+    For benchmarking model sizes whose bf16 tree cannot coexist with its own
+    quantization on one chip: Qwen2.5-VL-7B is ~15.2 GB bf16 — init + convert
+    would OOM a 16 GB v5e — but ~8.3 GB in this layout."""
+    from ..models.qwen25_vl import vision as vision_mod
+
+    tcfg = cfg.text
+    L, D = tcfg.num_hidden_layers, tcfg.hidden_size
+    H, Hkv, hd = (
+        tcfg.num_attention_heads,
+        tcfg.num_key_value_heads,
+        tcfg.head_dim,
+    )
+    I, V = tcfg.intermediate_size, tcfg.vocab_size
+    ks = iter(jax.random.split(key, 16))
+
+    def qrand(shape):
+        q = jax.random.randint(next(ks), shape, -127, 128, dtype=jnp.int8)
+        s = jnp.full((*shape[:-2], 1, shape[-1]), 0.02 / 127.0, jnp.float32)
+        return {"q": q, "s": s}
+
+    layers = {
+        "input_ln": jnp.ones((L, D), dtype),
+        "q_w": qrand((L, D, H * hd)),
+        "q_b": jnp.zeros((L, H * hd), dtype),
+        "k_w": qrand((L, D, Hkv * hd)),
+        "k_b": jnp.zeros((L, Hkv * hd), dtype),
+        "v_w": qrand((L, D, Hkv * hd)),
+        "v_b": jnp.zeros((L, Hkv * hd), dtype),
+        "o_w": qrand((L, H * hd, D)),
+        "post_ln": jnp.ones((L, D), dtype),
+        "gate_w": qrand((L, D, I)),
+        "up_w": qrand((L, D, I)),
+        "down_w": qrand((L, I, D)),
+    }
+    text = {
+        "embed": (jax.random.normal(next(ks), (V, D), jnp.float32) * 0.02).astype(dtype),
+        "layers": layers,
+        "final_ln": jnp.ones((D,), dtype),
+    }
+    if tcfg.tie_word_embeddings:
+        text["lm_head_q"] = qrand((D, V))
+    else:
+        text["lm_head"] = qrand((D, V))
+    vparams = vision_mod.init_vision_params(cfg.vision, next(ks), dtype)
+    return {"vision": quantize_vision_params(vparams, donate=True), "text": text}
+
+
 def quantize_model_params(
     params: Params, *, donate: bool = False, text_bits: int = 8
 ) -> Params:

@@ -172,3 +172,27 @@ def test_int4_language_params_logit_fidelity():
     # NOTE: top-1 agreement is meaningless on random weights (near-uniform
     # logits); real-checkpoint int4 quality is a deployment-time decision —
     # the framework keeps int8 as the default (SVT_QUANT=int8).
+
+
+def test_random_quantized_model_params_structure():
+    """Direct-quantized random init matches quantize_model_params(init) in
+    tree structure and runs the forward (used by bench --model 7b, where the
+    bf16 7B tree would OOM the chip before conversion)."""
+    from streaming_vlm_tpu.ops.quant import random_quantized_model_params
+
+    p = random_quantized_model_params(CFG, jax.random.PRNGKey(0))
+    params_bf = model.init_params(CFG, jax.random.PRNGKey(1), dtype=jnp.float32)
+    ref = {
+        "vision": params_bf["vision"],
+        "text": quantize_language_params(params_bf["text"]),
+    }
+    def paths(t):
+        return {jax.tree_util.keystr(k) for k, _ in jax.tree_util.tree_leaves_with_path(t)}
+    assert paths(p["text"]) == paths(ref["text"])
+    ids = jnp.arange(8, dtype=jnp.int32) % CFG.text.vocab_size
+    pos = jnp.broadcast_to(jnp.arange(8, dtype=jnp.float32), (3, 8))
+    emb = language.embed_tokens(CFG.text, p["text"], ids)
+    h = language.language_forward(CFG.text, p["text"], emb, pos)
+    lg = language.lm_logits(CFG.text, p["text"], h)
+    assert lg.shape == (8, CFG.text.vocab_size)
+    assert bool(jnp.all(jnp.isfinite(lg)))
