@@ -232,12 +232,20 @@ def _layer_body(
     parts.append((k_new_rot, v_new, self_mask))
 
     if arena_kernel is not None:
-        # `context` held only the small sources (delta); arena reads happen
-        # inside the pallas kernel and merge with the small parts' softmax
-        ak, av, vis, c_b, interpret = arena_kernel
-        attn = _decode_attention_merge(
-            q, parts, ak, av, vis, c_b=c_b, interpret=interpret
+        # `context` held only the small (delta) source; ONE pallas call does
+        # the whole joint softmax over arena + delta + self (v2 — the
+        # partial-kernel + jnp-merge v1 lost its win to merge overhead)
+        ak, av, vis, evis, c_b, interpret = arena_kernel
+        from ...ops.attention import streaming_decode_attention_full
+
+        ek = parts[0][0]
+        ks_small = jnp.concatenate([ek, k_new_rot], axis=0)
+        vs_small = jnp.concatenate([parts[0][1], v_new], axis=0)
+        out = streaming_decode_attention_full(
+            q[0], ak, av, ks_small, vs_small, vis, evis,
+            e_delta=ek.shape[0], c_b=c_b, interpret=interpret,
         )
+        attn = out.reshape(1, H * hd).astype(v_new.dtype)
     else:
         attn = _gqa_attention_multi(q, parts)
     hidden = hidden + mm(attn, lp["o_w"])
@@ -414,7 +422,7 @@ def language_forward_streaming(
             lp, ak, av, ek, ev = xs
             if use_decode_kernel:
                 ctx = [(ek, ev, e_cos, e_sin, extra_mask)]
-                ak_kernel = (ak, av, visible_len, dec_cb, dec_interp)
+                ak_kernel = (ak, av, visible_len, extra_visible, dec_cb, dec_interp)
             else:
                 ctx = [(ak, av, a_cos, a_sin, arena_mask), (ek, ev, e_cos, e_sin, extra_mask)]
                 ak_kernel = None

@@ -129,6 +129,184 @@ def _decode_kernel(
         acc_out[:] = acc_ref[:]
 
 
+def _decode_full_kernel(
+    visible_ref,  # [2] int32: [arena visible, delta visible]
+    qp_ref,  # [R, Hkv*hd]
+    ka_ref,  # arena tile [c_b, Hkv, hd] (last grid step: ignored)
+    va_ref,
+    ks_ref,  # [E1, Hkv, hd] delta+self block (constant across grid)
+    vs_ref,
+    out_ref,  # [R, hd]
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    n_tiles: int,
+    c_b: int,
+    e1: int,
+    e_delta: int,
+    hkv: int,
+    g: int,
+    hd: int,
+):
+    ik = pl.program_id(0)
+    R = hkv * g
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    vis = visible_ref[0]
+    evis = visible_ref[1]
+
+    def accumulate(k, v, mask, rows):
+        logits = jax.lax.dot_general(
+            qp_ref[...].astype(k.dtype),
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, rows] log2-space
+        if mask is not None:
+            logits = jnp.where(mask, logits, NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+        p = jnp.exp2(logits - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_ref[:, :1] = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, Hkv*hd]
+        row_head = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) // g
+        own = jnp.zeros((R, hd), jnp.float32)
+        for h in range(hkv):
+            own = own + jnp.where(
+                row_head == h, pv[:, h * hd : (h + 1) * hd], 0.0
+            )
+        acc_ref[:] = acc_ref[:] * alpha + own
+        m_ref[:, :1] = m_new
+
+    is_arena = ik < n_tiles
+
+    @pl.when(is_arena & ((ik + 1) * c_b <= vis))
+    def _interior():
+        accumulate(ka_ref[...].reshape(c_b, hkv * hd), va_ref[...].reshape(c_b, hkv * hd), None, c_b)
+
+    @pl.when(is_arena & ((ik + 1) * c_b > vis) & (ik * c_b < vis))
+    def _boundary():
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, c_b), 1)
+        accumulate(
+            ka_ref[...].reshape(c_b, hkv * hd),
+            va_ref[...].reshape(c_b, hkv * hd),
+            (ik * c_b + col) < vis,
+            c_b,
+        )
+
+    @pl.when(jnp.logical_not(is_arena))
+    def _small():
+        # delta rows [0, e_delta) visible below evis; self rows [e_delta, ..)
+        # always visible; padding rows beyond never
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, e1), 1)
+        mask = (col < evis) | (col >= e_delta)
+        accumulate(
+            ks_ref[...].reshape(e1, hkv * hd),
+            vs_ref[...].reshape(e1, hkv * hd),
+            mask,
+            e1,
+        )
+
+    @pl.when(ik == n_tiles)
+    def _finish():
+        denom = jnp.maximum(l_ref[:, :1], 1e-20)
+        out_ref[...] = (acc_ref[:] / denom).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("e_delta", "c_b", "interpret"))
+def streaming_decode_attention_full(
+    q_rot: jnp.ndarray,  # [H, hd] rotated single-token queries (unscaled)
+    k_arena: jnp.ndarray,  # [C, Hkv, hd] PRE-ROTATED arena K
+    v_arena: jnp.ndarray,
+    k_small: jnp.ndarray,  # [E1, Hkv, hd] rotated delta rows ++ self row(s)
+    v_small: jnp.ndarray,
+    visible_len: jnp.ndarray,  # scalar int32: arena visibility
+    extra_visible: jnp.ndarray,  # scalar int32: visible delta rows
+    *,
+    e_delta: int,  # rows of k_small before the always-visible self block
+    c_b: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """COMPLETE decode attention of one token (arena + decode delta + self)
+    in a single pallas call — one joint online softmax, nothing merged
+    outside (v1's partial-kernel + jnp-merge form lost its bandwidth win to
+    the merge's extra per-layer ops; this is the whole-op replacement for
+    flash-attn decode, language_forward.py:242-252). Returns [H, hd]."""
+    H, hd = q_rot.shape
+    C, Hkv, _ = k_arena.shape
+    G = H // Hkv
+    assert C % c_b == 0, (C, c_b)
+    n_tiles = C // c_b
+    E1 = k_small.shape[0]
+    qs = (q_rot.astype(jnp.float32) * (LOG2E / float(np.sqrt(hd)))).reshape(
+        Hkv, G, hd
+    )
+    eye = jnp.eye(Hkv, dtype=qs.dtype)
+    qp = (qs[:, :, None, :] * eye[:, None, :, None]).reshape(H, Hkv * hd)
+
+    def clamp(ik, vis):
+        last_vis = jnp.maximum((vis[0] + c_b - 1) // c_b - 1, 0)
+        return jnp.clip(ik, 0, jnp.minimum(last_vis, n_tiles - 1))
+
+    kernel = functools.partial(
+        _decode_full_kernel,
+        n_tiles=n_tiles,
+        c_b=c_b,
+        e1=E1,
+        e_delta=e_delta,
+        hkv=Hkv,
+        g=G,
+        hd=hd,
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles + 1,),
+            in_specs=[
+                pl.BlockSpec((H, Hkv * hd), lambda ik, vis: (0, 0)),
+                pl.BlockSpec((c_b, Hkv, hd), lambda ik, vis: (clamp(ik, vis), 0, 0)),
+                pl.BlockSpec((c_b, Hkv, hd), lambda ik, vis: (clamp(ik, vis), 0, 0)),
+                pl.BlockSpec((E1, Hkv, hd), lambda ik, vis: (0, 0, 0)),
+                pl.BlockSpec((E1, Hkv, hd), lambda ik, vis: (0, 0, 0)),
+            ],
+            out_specs=[pl.BlockSpec((H, hd), lambda ik, vis: (0, 0))],
+            scratch_shapes=[
+                pltpu.VMEM((H, 128), jnp.float32),
+                pltpu.VMEM((H, 128), jnp.float32),
+                pltpu.VMEM((H, hd), jnp.float32),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((H, hd), v_arena.dtype)],
+        interpret=interpret,
+    )(
+        jnp.stack(
+            [
+                jnp.asarray(visible_len, jnp.int32),
+                jnp.asarray(extra_visible, jnp.int32),
+            ]
+        ),
+        qp,
+        k_arena,
+        v_arena,
+        k_small,
+        v_small,
+    )
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("c_b", "interpret"))
 def streaming_decode_attention(
     q_rot: jnp.ndarray,  # [H, hd] rotated single-token queries (unscaled)

@@ -158,3 +158,16 @@ def test_decode_attention_kernel_matches_jnp(visible):
         c_b=128, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+    # v2: the whole joint softmax in ONE kernel (arena + delta + self)
+    from streaming_vlm_tpu.ops.attention import streaming_decode_attention_full
+
+    ks_small = jnp.concatenate([ek, ks], axis=0)
+    vs_small = jnp.concatenate([ev, vs], axis=0)
+    out2 = streaming_decode_attention_full(
+        q[0], ak, av, ks_small, vs_small, vis, jnp.asarray(e_vis, jnp.int32),
+        e_delta=E, c_b=128, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2.reshape(1, H * hd)), np.asarray(ref), atol=3e-5, rtol=1e-4
+    )

@@ -164,3 +164,33 @@ def test_dataset_driven_inference_with_gt(annotation):
     )
     assert len(responses) == 5
     assert ground_truths[1]["ground_truth"].endswith(" ...")
+
+
+def test_fused_linear_ce_matches_naive_grads():
+    """fused_linear_ce (liger-style one-pass loss+grads) == naive CE in value
+    AND both gradients (f32 exactness)."""
+    import jax
+    import jax.numpy as jnp
+
+    from streaming_vlm_tpu.train.step import fused_linear_ce
+
+    T, D, V = 70, 24, 91
+    k = jax.random.PRNGKey(3)
+    h = jax.random.normal(k, (T, D), jnp.float32)
+    w = jax.random.normal(k, (D, V), jnp.float32) * 0.1
+    t = (jnp.arange(T, dtype=jnp.int32) * 7) % V
+    m = jnp.arange(T) % 4 != 1
+
+    def naive(h, w):
+        lg = h @ w
+        lse = jax.nn.logsumexp(lg, axis=-1)
+        tgt = jnp.take_along_axis(lg, t[:, None], 1)[:, 0]
+        return jnp.sum(jnp.where(m, lse - tgt, 0.0))
+
+    l1, g1 = jax.value_and_grad(naive, argnums=(0, 1))(h, w)
+    l2, g2 = jax.value_and_grad(
+        lambda h, w: fused_linear_ce(h, w, t, m), argnums=(0, 1)
+    )(h, w)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -39,13 +39,24 @@ def main():
         hidden = jax.random.normal(key, (T, D), jnp.bfloat16) * 0.5
         targets = jnp.arange(T, dtype=jnp.int32) % V
 
+        from streaming_vlm_tpu.train.step import fused_linear_ce
+
+        mask = jnp.ones((T,), bool)
+
         def loss_chunked(h, w):
             return chunked_cross_entropy(h, w, targets).mean()
 
         def loss_naive(h, w):
             return naive_ce(h, w, targets).mean()
 
-        for name, fn in (("chunked", loss_chunked), ("naive", loss_naive)):
+        def loss_fused(h, w):
+            return fused_linear_ce(h, w, targets, mask) / T
+
+        for name, fn in (
+            ("chunked", loss_chunked),
+            ("naive", loss_naive),
+            ("fused", loss_fused),
+        ):
             try:
                 g = jax.jit(jax.grad(fn, argnums=(0, 1)))
                 fence(g(hidden, lm_head))  # compile
