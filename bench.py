@@ -111,7 +111,9 @@ def main():
             0, 255, size=(n_frames, frame_h, frame_w, 3), dtype=np.uint8
         )
 
-    n_chunks = 24
+    # 40 chunks -> 22 steady samples: the axon tunnel's throughput drifts on
+    # multi-minute scales, so a larger steady window keeps the median honest
+    n_chunks = 40
     times = []
     # Pipelined serve protocol (encoder/decoder overlap, BASELINE north star):
     # dispatch chunk i's fused step, then IMMEDIATELY dispatch chunk i+1's
