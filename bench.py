@@ -10,19 +10,38 @@ state (chunks past the first eviction round), i.e. fps * chunk_duration /
 median_chunk_seconds. Baseline: the reference reports up to 8 FPS real-time
 ingest on 1x H100 (readme.md:11).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Glitch-freedom (VERDICT r2 weak #1): every executable is prewarmed before
+chunk 0 and the run includes a mid-stream qa_stream injection that overflows
+the steady 640-token prefill bucket into the 1024 bucket; `checks` reports
+max_over_p50 across ALL chunks (including chunk 0 and the bucket switch) —
+<= 1.3 means no chunk would glitch a live stream.
+
+Paired-run mode (tunnel drift cancels): `--ab K=V[,K=V...]` runs the bench
+four times as subprocesses in A,B,B,A order (A = current env, B = env with
+the overrides applied) and reports {a, b, delta}. The axon tunnel's
+throughput drifts ~±15% across a day, so single-artifact comparisons of two
+separate sessions are soft; ABBA interleaving in one session cancels linear
+drift. Subprocesses (not in-process reruns) because SVT_* env flags are read
+at trace time — a changed flag would silently hit the stale jit cache.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+QA_QUESTION = (
+    " Also, what is the current score of the match, which team has the "
+    "momentum right now, and who looks most likely to score next?"
+)
 
-def main():
-    import argparse
 
+def run_stream(args):
     import jax
     import jax.numpy as jnp
 
@@ -31,19 +50,17 @@ def main():
         StreamConfig,
         qwen25_vl_3b,
         qwen25_vl_7b,
+        qwen25_vl_tiny,
     )
     from streaming_vlm_tpu.models.qwen25_vl import model
     from streaming_vlm_tpu.streaming.engine import StreamingEngine
     from streaming_vlm_tpu.streaming.protocol import FakeTokenizer, PromptBuilder
 
-    ap = argparse.ArgumentParser()
-    # 3b is the driver's headline metric; 7b matches the reference checkpoint
-    # size (mit-han-lab/StreamingVLM is Qwen2.5-VL-7B — inference.py:531) and
-    # always runs int8 (bf16 7B does not fit a 16 GB v5e chip)
-    ap.add_argument("--model", choices=("3b", "7b"), default="3b")
-    args = ap.parse_args()
-
-    cfg = qwen25_vl_3b() if args.model == "3b" else qwen25_vl_7b()
+    cfg = {
+        "3b": qwen25_vl_3b,
+        "7b": qwen25_vl_7b,
+        "tiny": qwen25_vl_tiny,  # CPU-mesh smoke of the full bench protocol
+    }[args.model]()
     tok = cfg.tokens
 
     # default operating point
@@ -52,13 +69,7 @@ def main():
     window_size = 16
     # 448 x 896 per frame -> 32 x 64 patches -> (1, 32, 64) grid per 1 s chunk
     grid = (1, 32, 64)
-    n_patches = int(np.prod(grid))
-    n_vid_tokens = n_patches // cfg.vision.spatial_merge_unit  # 512
-    patch_dim = (
-        cfg.vision.in_channels
-        * cfg.vision.temporal_patch_size
-        * cfg.vision.patch_size**2
-    )
+    n_vid_tokens = int(np.prod(grid)) // cfg.vision.spatial_merge_unit  # 512
 
     stream = StreamConfig(
         fps=fps,
@@ -75,7 +86,11 @@ def main():
     )
     sampling = SamplingConfig(temperature=0.9, repetition_penalty=1.05, do_sample=True)
 
-    import os
+    mesh = None
+    if args.tp > 1:
+        from streaming_vlm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh({"data": 1, "model": args.tp})
 
     if args.model == "7b":
         # bf16 init + convert would OOM: build the tree directly quantized
@@ -94,10 +109,26 @@ def main():
             params = quantize_model_params(
                 params, donate=True, text_bits=4 if quant == "int4" else 8
             )
+    if mesh is not None:
+        from streaming_vlm_tpu.parallel.mesh import shard_params
+
+        params, _ = shard_params(params, mesh)
     params = jax.tree.map(jax.block_until_ready, params)
 
-    engine = StreamingEngine(cfg, params, stream, sampling, dtype=jnp.bfloat16)
-    engine.prewarm()  # compile the compaction executable before streaming
+    engine = StreamingEngine(
+        cfg, params, stream, sampling, dtype=jnp.bfloat16, mesh=mesh
+    )
+    # Compile EVERY configured executable before chunk 0: compaction, the
+    # frames->embeddings vision pipeline, and chunk_step for both prefill
+    # buckets (640 steady / 1024 for chunk 0 and qa-injection overflows).
+    t_warm = time.perf_counter()
+    n_exec = engine.prewarm(grids=(grid,), vision="frames")
+    print(
+        f"[prewarm] {n_exec} chunk_step variants + vision + compaction in "
+        f"{time.perf_counter() - t_warm:.1f} s",
+        file=sys.stderr,
+        flush=True,
+    )
     builder = PromptBuilder(tok, FakeTokenizer(tok))
     _, end_bias = 3, 2  # reference-measured biases for the real tokenizer
     rng = np.random.default_rng(0)
@@ -113,7 +144,11 @@ def main():
 
     # 40 chunks -> 22 steady samples: the axon tunnel's throughput drifts on
     # multi-minute scales, so a larger steady window keeps the median honest
-    n_chunks = 40
+    n_chunks = args.chunks
+    # mid-stream qa injection: the question text overflows the 640 bucket
+    # (steady chunks are 533 tokens; the question adds ~130) -> bucket 1024.
+    # Placed before the vision window fills so cached + 1024 fits capacity.
+    qa_at = 10 if args.glitch else -1
     times = []
     # Pipelined serve protocol (encoder/decoder overlap, BASELINE north star):
     # dispatch chunk i's fused step, then IMMEDIATELY dispatch chunk i+1's
@@ -126,6 +161,7 @@ def main():
     for i in range(n_chunks):
         t0c, t1c = i * chunk_duration, (i + 1) * chunk_duration
         segs = []
+        question = QA_QUESTION if i == qa_at else ""
         if i == 0:
             segs.append(builder.system_segment())
             segs.extend(builder.previous_text_segments("live stream"))
@@ -137,7 +173,9 @@ def main():
             )
         else:
             segs.extend(
-                builder.user_turn_segments(i, t0c, t1c, n_vid_tokens, grid, 2.0 / fps)
+                builder.user_turn_segments(
+                    i, t0c, t1c, n_vid_tokens, grid, 2.0 / fps, question=question
+                )
             )
         segs.extend(builder.assistant_open_segments(i))
 
@@ -162,15 +200,32 @@ def main():
             flush=True,
         )
 
-    steady = times[window_size + 2 :]
+    # steady window starts past the first eviction round; for short runs
+    # (tiny CPU smoke) fall back to the second half
+    start = window_size + 2
+    steady = times[start:] if len(times) > start + 3 else times[len(times) // 2 :]
     med = float(np.median(steady))
     ingest_fps = fps * chunk_duration / med
+    checks = {
+        # glitch-freedom: every chunk (incl. chunk 0 and the qa bucket
+        # switch) vs the steady median; <= 1.3 = no live-stream glitch
+        "max_over_p50": round(float(np.max(times) / med), 3),
+        "chunk0_over_p50": round(float(times[0] / med), 3),
+    }
+    if qa_at >= 0:
+        checks["qa_chunk_over_p50"] = round(float(times[qa_at] / med), 3)
+    return cfg, stream, engine, ingest_fps, checks
 
-    # On-device pallas-vs-XLA numeric cross-check of the ATTENTION OP over
-    # the REAL arena KV from the run (the flash kernel's only other
-    # validation is interpret-mode on CPU — VERDICT r1 weak #7). The op is
-    # compared directly: a full-36-layer hidden comparison amplifies bf16/
-    # quant-rounding noise chaotically and says nothing about the kernel.
+
+def pallas_check(cfg, stream, engine):
+    """On-device pallas-vs-XLA numeric cross-check of the ATTENTION OP over
+    the REAL arena KV from the run (the flash kernel's only other validation
+    is interpret-mode on CPU — VERDICT r1 weak #7). The op is compared
+    directly: a full-36-layer hidden comparison amplifies bf16/quant-rounding
+    noise chaotically and says nothing about the kernel."""
+    import jax
+    import jax.numpy as jnp
+
     from streaming_vlm_tpu.models.qwen25_vl.language import _gqa_attention_multi
     from streaming_vlm_tpu.ops.attention import streaming_prefill_attention
 
@@ -192,6 +247,7 @@ def main():
     out_p = streaming_prefill_attention(
         q_chk, ka_chk, va_chk, acos2, asin2, ks_chk, vs_chk, vis_chk,
         t_b=128, c_b=1024 if C % 1024 == 0 else 512,
+        interpret=jax.default_backend() not in ("tpu", "axon"),
     )
     rot = jnp.concatenate([-ka_chk[:, :, hd // 2:], ka_chk[:, :, : hd // 2]], -1)
     k_rot = (
@@ -205,16 +261,91 @@ def main():
     ).reshape(T_chk, t.num_attention_heads, hd)
     num = jnp.linalg.norm((out_p - out_x).astype(jnp.float32))
     den = jnp.linalg.norm(out_x.astype(jnp.float32))
-    pallas_rel_err = float(num / den)
+    return float(num / den)
 
-    result = {
-        "metric": f"streaming_ingest_fps_{args.model}_v5e1",
+
+def run_ab(args):
+    """ABBA paired phases as subprocesses; reports medians + delta."""
+    overrides = dict(kv.split("=", 1) for kv in args.ab.split(","))
+    base_cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--model", args.model, "--chunks", str(args.chunks), "--no-glitch",
+    ]
+    if args.tp > 1:
+        base_cmd += ["--tp", str(args.tp)]
+    results = {"a": [], "b": []}
+    for phase in ("a", "b", "b", "a"):
+        env = dict(os.environ)
+        if phase == "b":
+            env.update(overrides)
+        print(f"[ab] phase {phase} env={overrides if phase == 'b' else '{}'}",
+              file=sys.stderr, flush=True)
+        out = subprocess.run(
+            base_cmd, env=env, capture_output=True, text=True, timeout=3600
+        )
+        sys.stderr.write(out.stderr)
+        line = out.stdout.strip().splitlines()[-1]
+        results[phase].append(json.loads(line)["value"])
+    a = float(np.mean(results["a"]))
+    b = float(np.mean(results["b"]))
+    print(json.dumps({
+        "metric": f"streaming_ingest_fps_{args.model}_ab",
+        "value": round(b, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(b / 8.0, 3),
+        "ab": {
+            "a": round(a, 3), "b": round(b, 3),
+            "a_runs": results["a"], "b_runs": results["b"],
+            "delta": round(b - a, 3), "ratio": round(b / a, 4),
+            "overrides": overrides,
+        },
+    }))
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    # 3b is the driver's headline metric; 7b matches the reference checkpoint
+    # size (mit-han-lab/StreamingVLM is Qwen2.5-VL-7B — inference.py:531) and
+    # always runs int8 (bf16 7B does not fit a 16 GB v5e chip)
+    ap.add_argument("--model", choices=("3b", "7b", "tiny"), default="3b")
+    ap.add_argument("--chunks", type=int, default=40)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel devices (7B on v5e-8; 1 = single chip)")
+    ap.add_argument("--ab", type=str, default=None,
+                    help="paired ABBA run: comma-separated ENV=VAL overrides for B")
+    ap.add_argument("--no-glitch", dest="glitch", action="store_false",
+                    help="skip the mid-stream qa bucket-switch chunk")
+    args = ap.parse_args()
+
+    if args.model == "tiny":
+        # CPU-mesh smoke of the full bench protocol (incl. --tp sharding):
+        # the axon sitecustomize hijacks platform selection after import, so
+        # env vars are not enough — override the config directly.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", max(8, args.tp))
+
+    if args.ab:
+        return run_ab(args)
+
+    cfg, stream, engine, ingest_fps, checks = run_stream(args)
+    if args.model != "tiny":
+        # interpret-mode pallas on CPU takes minutes at C=10240; the kernel's
+        # CPU correctness is covered by tests/test_pallas_attention.py
+        checks["pallas_vs_xla_rel_err_ondevice"] = round(
+            pallas_check(cfg, stream, engine), 6
+        )
+    suffix = f"_tp{args.tp}" if args.tp > 1 else "_v5e1"
+    print(json.dumps({
+        "metric": f"streaming_ingest_fps_{args.model}{suffix}",
         "value": round(ingest_fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(ingest_fps / 8.0, 3),
-        "checks": {"pallas_vs_xla_rel_err_ondevice": round(pallas_rel_err, 6)},
-    }
-    print(json.dumps(result))
+        "checks": checks,
+    }))
 
 
 if __name__ == "__main__":

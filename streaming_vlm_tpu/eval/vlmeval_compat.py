@@ -58,9 +58,16 @@ class _AnyModule(types.ModuleType):
         return _Any()
 
 
+# top-level names the finder actually fabricated (i.e. the real package was
+# missing) — inspect/log this to diagnose a kit code path silently running
+# against a stub instead of a real dependency (ADVICE r2)
+stubbed_modules: set = set()
+
+
 class _StubFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
     def find_spec(self, name, path=None, target=None):
         if name.split(".")[0] in _STUB_WHITELIST:
+            stubbed_modules.add(name.split(".")[0])
             return importlib.machinery.ModuleSpec(name, self)
         return None
 
@@ -97,6 +104,13 @@ def load_vlmeval(kit_path: str):
     import vlmeval  # noqa: F401
 
     _loaded_from = kit_path
+    if stubbed_modules:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "vlmeval loaded with stubbed optional deps: %s",
+            ", ".join(sorted(stubbed_modules)),
+        )
     return vlmeval
 
 

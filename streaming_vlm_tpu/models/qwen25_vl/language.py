@@ -200,7 +200,8 @@ def _layer_body(
     self_mask,  # [T, T] mask over the block's own keys (causal)
     context,  # list of (k [S,Hkv,hd], v [S,Hkv,hd], cos [S,f], sin [S,f], mask [T,S]);
     # cos=None marks a PRE-ROTATED k source (rotation skipped)
-    arena_kernel=None,  # (ak, av, visible_len, c_b, interpret): route the
+    arena_kernel=None,  # (ak, av, visible_len, extra_visible, c_b, interpret):
+    # route the
     # FIRST context source through the pallas decode kernel (T=1 only)
 ):
     """One decoder layer: attention over read-only context KV sources plus the

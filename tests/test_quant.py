@@ -150,6 +150,21 @@ def test_qdot4_accuracy():
     via_mm = mm(x, qt, out_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(via_mm), np.asarray(approx))
 
+    # T>=32 takes the prefill branch (bf16 dequant of the interleaved nibble
+    # tensor) — previously untested (ADVICE r2): it must match the explicit
+    # dequant oracle, and agree with the T<32 grouped-s8 path on shared rows.
+    x64 = jnp.concatenate([x, x, x, x], axis=0)  # (64, 256)
+    approx64 = np.asarray(qdot4(x64, qt, out_dtype=jnp.float32))
+    ref64 = np.asarray(x64) @ w_deq
+    rel64 = float(np.linalg.norm(approx64 - ref64) / np.linalg.norm(ref64))
+    assert rel64 < 0.01, rel64  # bf16-dequant path: no activation quant noise
+    # same input rows through both branches agree to bf16-vs-s8 tolerance
+    rel_branch = float(
+        np.linalg.norm(approx64[:16] - np.asarray(approx))
+        / np.linalg.norm(np.asarray(approx))
+    )
+    assert rel_branch < 0.01, rel_branch
+
 
 def test_int4_language_params_logit_fidelity():
     """Tiny model: int4-quantized stacked layers still track bf16 logits."""

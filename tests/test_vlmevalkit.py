@@ -138,3 +138,98 @@ def test_kit_prompt_parity_with_builtin_runner(tiny_chat, tmp_path):
     ours = build_mcq_message(row, str(img_dir))
     our_text = "".join(m["value"] for m in ours if m["type"] == "text")
     assert kit_text == our_text
+
+
+def test_videomme_template_parity_with_kit():
+    """Our VideoMME prompt constants must match the kit's class attributes
+    (the kit's VideoMME cannot be instantiated offline — its TSV is MD5-pinned
+    to the HF download, videomme.py:32,62-74 — so the runner replicates its
+    build_prompt; this pins the replication to the kit's source)."""
+    from streaming_vlm_tpu.eval.vlmeval_compat import load_vlmeval
+    from streaming_vlm_tpu.eval.vqa import (
+        VIDEOMME_FRAMES_TMPL_NOSUB,
+        VIDEOMME_SYS,
+    )
+
+    load_vlmeval(KIT_PATH)
+    from vlmeval.dataset.videomme import VideoMME
+
+    assert VideoMME.SYS == VIDEOMME_SYS
+    assert VideoMME.FRAMES_TMPL_NOSUB == VIDEOMME_FRAMES_TMPL_NOSUB
+    # the video_llm message shape: SYS text, the video, template, question
+    import inspect
+
+    src = inspect.getsource(VideoMME.build_prompt)
+    # the source spells the newline as a \n escape
+    assert "Question: {}\\nAnswer: " in src  # our runner's question format
+
+
+def test_videomme_end_to_end_synthesized_clip(tiny_chat, tmp_path):
+    """A VideoMME-format dataset over a synthesized mp4 runs end-to-end
+    through the VIDEO message path: native ingest samples frames at the
+    configured fps, the model sees video_pad tokens + video grids, and a
+    prediction is produced per item (VERDICT r2 missing #1)."""
+    import csv
+
+    from streaming_vlm_tpu.eval.vqa import run_videomme_tsv
+    from streaming_vlm_tpu.video.ingest import write_test_video
+
+    vdir = tmp_path / "video"
+    vdir.mkdir()
+    write_test_video(str(vdir / "clip0.mp4"), w=64, h=48, n_frames=30, fps=10)
+    write_test_video(str(vdir / "clip1.mp4"), w=64, h=48, n_frames=20, fps=10)
+
+    rows = [
+        {
+            "index": "0",
+            "video": "clip0",
+            "question": "What moves across the frame?",
+            "candidates": "['A. a square', 'B. a circle', 'C. text', 'D. nothing']",
+            "answer": "A",
+        },
+        {
+            "index": "1",
+            "video": "clip1",
+            "question": "What color dominates?",
+            "candidates": "['A. red', 'B. green', 'C. blue', 'D. black']",
+            "answer": "C",
+        },
+    ]
+    tsv = tmp_path / "VideoMME_tiny.tsv"
+    with open(tsv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]), delimiter="\t")
+        w.writeheader()
+        w.writerows(rows)
+
+    tiny_chat.fps = 1.0  # Video-MME_1fps operating point
+    out = tmp_path / "preds.jsonl"
+    res = run_videomme_tsv(
+        tiny_chat, str(tsv), str(out), data_root=str(tmp_path)
+    )
+    assert res["total"] == 2
+    assert len(out.read_text().strip().splitlines()) == 2
+
+
+def test_vqachat_video_nframe_sampling(tiny_chat, tmp_path):
+    """nframe mode (MVBench_64frame style): evenly-spaced frames, padded to
+    the temporal patch factor, with second_per_grid_ts from the sampled
+    interval."""
+    from streaming_vlm_tpu.video.ingest import write_test_video
+
+    path = str(tmp_path / "clip.mp4")
+    write_test_video(path, w=64, h=48, n_frames=25, fps=10)
+
+    tiny_chat.fps = None
+    tiny_chat.nframe = 6
+    patches, grid, spgt = tiny_chat._load_video(path)
+    assert grid[0] == 3  # 6 frames / temporal_patch_size 2
+    # sampled interval ~ duration/6 -> spgt = tps / sampled_fps
+    assert 0.2 < spgt < 2.0
+    pred = tiny_chat.generate(
+        [
+            {"type": "video", "value": path},
+            {"type": "text", "value": "Question: anything?\nAnswer: "},
+        ],
+        dataset="MVBench",
+    )
+    assert isinstance(pred, str)

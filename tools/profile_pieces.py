@@ -28,7 +28,14 @@ from streaming_vlm_tpu.models.qwen25_vl.rope import (
 from streaming_vlm_tpu.ops.attention import streaming_prefill_attention
 from streaming_vlm_tpu.ops.quant import mm
 
-cfg = qwen25_vl_3b()
+import argparse
+
+from streaming_vlm_tpu.config import qwen25_vl_7b
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--model", choices=("3b", "7b"), default="3b")
+_args = _ap.parse_args()
+cfg = qwen25_vl_3b() if _args.model == "3b" else qwen25_vl_7b()
 tcfg = cfg.text
 L = tcfg.num_hidden_layers
 D = tcfg.hidden_size
@@ -61,11 +68,17 @@ def timed(tag, fn, *args, n_disp=5):
 def main():
     from streaming_vlm_tpu.models.qwen25_vl import model as m
 
-    params = m.init_params(cfg, key, dtype=jnp.bfloat16)
-    if os.environ.get("SVT_QUANT", "int8") == "int8":
-        from streaming_vlm_tpu.ops.quant import quantize_model_params
+    if _args.model == "7b":
+        # bf16 init + convert would OOM on a 16 GB chip: build quantized
+        from streaming_vlm_tpu.ops.quant import random_quantized_model_params
 
-        params = quantize_model_params(params, donate=True)
+        params = random_quantized_model_params(cfg, key)
+    else:
+        params = m.init_params(cfg, key, dtype=jnp.bfloat16)
+        if os.environ.get("SVT_QUANT", "int8") == "int8":
+            from streaming_vlm_tpu.ops.quant import quantize_model_params
+
+            params = quantize_model_params(params, donate=True)
     params = jax.tree.map(jax.block_until_ready, params)
     lp = params["text"]["layers"]
 
