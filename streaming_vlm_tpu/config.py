@@ -254,6 +254,19 @@ class StreamConfig:
     # ~20 scaffold) must NOT pad to 1024 — at KV saturation (~9,430 slots
     # post-evict) a 1024-padded prefill block would not fit the arena
     prefill_buckets: Tuple[int, ...] = (64, 128, 256, 512, 640, 1024, 2048, 4096)
+    # Pre-rotate the whole arena K once per chunk (fast; costs a second
+    # [L, C, Hkv, hd] HBM copy) vs rotate at attention time from per-slot
+    # positions (half the arena memory; the reference's own per-call cost,
+    # language_forward.py:190-197). None = auto: prerotate only while the
+    # arena is small enough that the copy is cheap (<= 32k slots); the
+    # full-attention ablation's stream-length arena picks the raw mode.
+    prerotate_arena: Optional[bool] = None
+
+    @property
+    def effective_prerotate(self) -> bool:
+        if self.prerotate_arena is not None:
+            return self.prerotate_arena
+        return self.kv_capacity <= 32768
 
     @property
     def visual_round(self) -> int:

@@ -261,9 +261,19 @@ def language_forward(
     inputs_embeds: jnp.ndarray,  # [T, D]
     positions: jnp.ndarray,  # [3, T] float32
     attn_mask: Optional[jnp.ndarray] = None,  # [T, T] bool; default causal
+    remat: str = "none",  # {"none", "full", "dots"} activation checkpointing
 ) -> jnp.ndarray:
     """Offline / training decoder stack: plain causal self-attention.
-    Returns hidden [T, D] post-final-norm."""
+    Returns hidden [T, D] post-final-norm.
+
+    `remat` rematerialises per-layer activations in the backward pass (the
+    reference trains with gradient_checkpointing — scripts/sft_stage_1.sh:45):
+    "full" saves only the [T, D] inter-layer carry (every intermediate —
+    including the dominant [T, I] MLP activations — is recomputed in the
+    backward), "dots" additionally saves matmul outputs with no batch dims
+    (less recompute, more memory). Without remat, 3B at T=8192 keeps ~180 MB
+    of [T, I] activations live per layer for backward (x36 layers ~ 6.5 GB);
+    with "full" the saved state is the [T, D] carry (~34 MB/layer)."""
     T = inputs_embeds.shape[0]
     inv_freq = jnp.asarray(make_inv_freq(cfg.head_dim, cfg.rope_theta))
     q_cos, q_sin = mrope_cos_sin(positions, inv_freq, cfg.mrope_section)
@@ -275,6 +285,14 @@ def language_forward(
             cfg, hidden, lp, q_cos=q_cos, q_sin=q_sin, self_mask=attn_mask, context=[]
         )
         return hidden, None
+
+    if remat != "none":
+        policy = (
+            None  # save nothing: recompute the whole layer in backward
+            if remat == "full"
+            else jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+        scan_fn = jax.checkpoint(scan_fn, policy=policy, prevent_cse=False)
 
     hidden, _ = jax.lax.scan(scan_fn, inputs_embeds, params["layers"])
     return rms_norm(hidden, params["final_ln"], cfg.rms_norm_eps)

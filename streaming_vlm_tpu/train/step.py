@@ -150,10 +150,17 @@ def sft_loss(
     cfg: ModelConfig,
     params: Params,
     batch: Dict[str, jnp.ndarray],
+    remat: str = "none",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """batch: input_ids [B, T], labels [B, T] (-100 masked), positions [B, 3, T],
     optional inputs_embeds [B, T, D] (vision already merged).
-    Returns (mean loss over labeled tokens, labeled-token count)."""
+    Returns (mean loss over labeled tokens, labeled-token count).
+
+    `remat` ("full"/"dots") enables activation checkpointing on the decoder
+    layer scan — the reference trains with gradient_checkpointing + ZeRO-3
+    (scripts/sft_stage_1.sh:45); without it, per-layer [T, I] activations all
+    stay live for backward and 7B at the reference's sequence lengths cannot
+    fit a 16 GB chip (see language.language_forward)."""
     tcfg = cfg.text
 
     def per_example(ids, labels, positions, vis_embeds, vis_slots):
@@ -162,7 +169,9 @@ def sft_loss(
             # frozen-ViT embeddings scattered into video-token slots; padded
             # slots point out of range and are dropped
             x = x.at[vis_slots].set(vis_embeds.astype(x.dtype), mode="drop")
-        hidden = language.language_forward(tcfg, params["text"], x, positions)
+        hidden = language.language_forward(
+            tcfg, params["text"], x, positions, remat=remat
+        )
         # next-token shift
         hidden = hidden[:-1]
         targets = labels[1:]
@@ -205,14 +214,16 @@ def make_optimizer(
     )
 
 
-def make_train_step(cfg: ModelConfig, optimizer, freeze_vision: bool = True):
+def make_train_step(
+    cfg: ModelConfig, optimizer, freeze_vision: bool = True, remat: str = "none"
+):
     """Build a jittable train step over text params (vision frozen like the
     reference, train.py:77-82)."""
 
     def step(params: Params, opt_state, batch):
         def loss_fn(text_params):
             p = {**params, "text": text_params}
-            loss, count = sft_loss(cfg, p, batch)
+            loss, count = sft_loss(cfg, p, batch, remat=remat)
             return loss, count
 
         (loss, count), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -45,6 +45,10 @@ class TrainConfig:
     seed: int = 42
     seq_buckets: tuple = (512, 1024, 2048, 4096, 8192)
     vis_buckets: tuple = (256, 512, 1024, 2048, 4096)
+    # activation checkpointing on the decoder layer scan: "full" matches the
+    # reference's gradient_checkpointing recipe (sft_stage_1.sh:45); "none"
+    # is faster when memory allows, "dots" in between
+    remat: str = "full"
 
 
 def find_resume_checkpoint(output_dir: str) -> Optional[str]:
@@ -119,7 +123,7 @@ class Trainer:
     def _train_step(self, text_params, opt_state, vision_params, batch):
         def loss_fn(tp):
             p = {"text": tp, "vision": vision_params}
-            loss, count = sft_loss(self.cfg, p, batch)
+            loss, count = sft_loss(self.cfg, p, batch, remat=self.tc.remat)
             return loss, count
 
         (loss, count), grads = jax.value_and_grad(loss_fn, has_aux=True)(text_params)

@@ -194,3 +194,87 @@ def test_fused_linear_ce_matches_naive_grads():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_remat_grad_equivalence():
+    """Activation checkpointing ("full"/"dots") must not change the loss or
+    the gradients — only the backward's memory/recompute tradeoff (reference
+    gradient_checkpointing, sft_stage_1.sh:45)."""
+    from streaming_vlm_tpu.train.step import sft_loss
+
+    params = model.init_params(CFG, jax.random.PRNGKey(2), dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    B, T = 2, 64
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(5, 900, size=(B, T)), jnp.int32),
+        "labels": jnp.asarray(rng.integers(5, 900, size=(B, T)), jnp.int32),
+        "positions": jnp.broadcast_to(
+            jnp.arange(T, dtype=jnp.float32), (B, 3, T)
+        ),
+    }
+
+    def loss_of(remat):
+        def f(tp):
+            return sft_loss(CFG, {**params, "text": tp}, batch, remat=remat)[0]
+
+        return jax.value_and_grad(f)(params["text"])
+
+    l0, g0 = loss_of("none")
+    for mode in ("full", "dots"):
+        l1, g1 = loss_of(mode)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_trainer_step_7b_geometry_fsdp_remat():
+    """A 7B-geometry (full hidden/intermediate/head dims, reduced depth +
+    vocab) FSDP-sharded train step with remat="full" runs on the 8-device
+    mesh (VERDICT r2 next #4: remat + sharding is what makes 7B training fit
+    the reference's sequence lengths)."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from streaming_vlm_tpu.config import qwen25_vl_7b
+    from streaming_vlm_tpu.parallel.distributed import batch_spec
+    from streaming_vlm_tpu.parallel.mesh import make_mesh, shard_params
+    from streaming_vlm_tpu.train.step import make_optimizer, make_train_step
+
+    base = qwen25_vl_7b()
+    cfg = dataclasses.replace(
+        base,
+        tokens=CFG.tokens,  # ids within the reduced vocab
+        text=dataclasses.replace(
+            base.text, num_hidden_layers=2, vocab_size=2048
+        ),
+        vision=CFG.vision,
+    )
+    params = model.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    mesh = make_mesh({"data": 4, "model": 2})
+    p, _ = shard_params(params, mesh)
+    optimizer = make_optimizer(learning_rate=1e-5)
+    opt_state = optimizer.init(p["text"])
+    rng = np.random.default_rng(0)
+    B, T = 4, 256
+    bs = batch_spec(mesh)
+    batch = jax.device_put(
+        {
+            "input_ids": rng.integers(5, 2000, size=(B, T)).astype(np.int32),
+            "labels": rng.integers(5, 2000, size=(B, T)).astype(np.int32),
+            "positions": np.broadcast_to(
+                np.arange(T, dtype=np.float32), (B, 3, T)
+            ).copy(),
+        },
+        {
+            "input_ids": NamedSharding(mesh, P(*bs, None)),
+            "labels": NamedSharding(mesh, P(*bs, None)),
+            "positions": NamedSharding(mesh, P(*bs, None, None)),
+        },
+    )
+    step = jax.jit(make_train_step(cfg, optimizer, remat="full"))
+    new_p, _, metrics = step(p, opt_state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # params stay sharded through the update
+    qw = new_p["text"]["layers"]["q_w"]
+    assert not qw.sharding.is_fully_replicated
