@@ -52,9 +52,16 @@ def render_caption_video(
     *,
     fps: int = 10,
     max_seconds: Optional[float] = None,
+    synth=None,  # callable(text) -> mono float32 PCM at audio_rate; None = no audio
+    audio_rate: int = 24000,
 ) -> Tuple[int, int]:
     """Burn caption bubbles into the video: each frame shows the segment
-    active at its timestamp. Returns (n_frames, n_segments_drawn)."""
+    active at its timestamp. With `synth`, each segment's speech is placed
+    at its start time on an AAC audio track muxed by the native encoder
+    (the reference overlays kokoro-TTS audio via moviepy —
+    baselines/livecc/demo/render/video.py:213; pass `synth=kokoro_synth`
+    when kokoro is installed, or any fake synth in tests). Returns
+    (n_frames, n_segments_drawn)."""
     import numpy as np
 
     from ..video.ingest import VideoReader, VideoWriter
@@ -66,7 +73,9 @@ def render_caption_video(
     w = r.width - r.width % 4
     h = r.height - r.height % 4
     drawn = set()
-    with VideoWriter(out_path, w, h, fps) as out:
+    with VideoWriter(
+        out_path, w, h, fps, audio_rate=audio_rate if synth else 0
+    ) as out:
         for i in range(n):
             frame = r.fetch([i], w, h)[0]
             t = float(ts[i])
@@ -76,7 +85,36 @@ def render_caption_video(
                     drawn.add(si)
                     break
             out.write(frame)
+        if synth is not None:
+            duration = n / fps
+            track = np.zeros(int(duration * audio_rate) + 1, np.float32)
+            for seg in segments:
+                if not seg["text"] or seg["start"] >= duration:
+                    continue
+                pcm = np.asarray(synth(seg["text"]), np.float32).reshape(-1)
+                o = int(seg["start"] * audio_rate)
+                m = min(len(pcm), len(track) - o)
+                if m > 0:
+                    track[o : o + m] += pcm[:m]
+            out.write_audio(np.clip(track, -1.0, 1.0))
     return n, len(drawn)
+
+
+def kokoro_synth(text: str):
+    """synth callable for render_caption_video backed by kokoro TTS (the
+    reference's synthesiser). Raises with install instructions when the
+    package is missing."""
+    try:
+        from kokoro import KPipeline  # type: ignore
+    except ImportError as e:
+        raise RuntimeError(
+            "TTS requires the 'kokoro' package (pip install kokoro); "
+            "caption rendering works without it (synth=None)."
+        ) from e
+    import numpy as np
+
+    pipe = KPipeline(lang_code="a")
+    return np.concatenate([audio for _, _, audio in pipe(text, voice="af_heart")])
 
 
 def synth_speech(text: str, out_wav: str) -> str:

@@ -349,6 +349,14 @@ struct SvtEncoder {
   SwsContext* sws = nullptr;
   int w = 0, h = 0;
   int64_t next_pts = 0;
+  // optional AAC audio track (the reference burns kokoro-TTS audio into the
+  // rendered demo video — baselines/livecc/demo/render/video.py:213; here
+  // the mux is native: mono float PCM in, AAC out, interleaved with video)
+  AVCodecContext* aenc = nullptr;
+  AVStream* ast = nullptr;
+  AVFrame* aframe = nullptr;
+  std::vector<float> abuf;
+  int64_t a_pts = 0;
 };
 
 static int svt_enc_drain(SvtEncoder* e) {
@@ -360,7 +368,59 @@ static int svt_enc_drain(SvtEncoder* e) {
   return 0;
 }
 
-void* svt_encoder_open(const char* path, int w, int h, int fps) {
+static int svt_enc_drain_audio(SvtEncoder* e) {
+  while (avcodec_receive_packet(e->aenc, e->pkt) == 0) {
+    av_packet_rescale_ts(e->pkt, e->aenc->time_base, e->ast->time_base);
+    e->pkt->stream_index = e->ast->index;
+    av_interleaved_write_frame(e->fmt, e->pkt);
+  }
+  return 0;
+}
+
+// Encode buffered PCM in full AAC frames; `flush` pads the tail with
+// silence and drains the encoder.
+static int svt_enc_pump_audio(SvtEncoder* e, int flush) {
+  if (!e->aenc) return 0;
+  int fs = e->aenc->frame_size;
+  while ((int)e->abuf.size() >= fs || (flush && !e->abuf.empty())) {
+    if ((int)e->abuf.size() < fs) e->abuf.resize(fs, 0.0f);
+    av_frame_make_writable(e->aframe);
+    memcpy(e->aframe->data[0], e->abuf.data(), fs * sizeof(float));
+    e->aframe->pts = e->a_pts;
+    e->a_pts += fs;
+    if (avcodec_send_frame(e->aenc, e->aframe) != 0) return -1;
+    svt_enc_drain_audio(e);
+    e->abuf.erase(e->abuf.begin(), e->abuf.begin() + fs);
+  }
+  if (flush) {
+    avcodec_send_frame(e->aenc, nullptr);
+    svt_enc_drain_audio(e);
+  }
+  return 0;
+}
+
+// Probe: sample rate of the first audio stream (0 = no audio). Lets tests
+// assert the TTS mux actually produced an audio track.
+int svt_audio_rate(const char* path) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  int rate = 0;
+  for (unsigned i = 0; i < fmt->nb_streams; i++) {
+    if (fmt->streams[i]->codecpar->codec_type == AVMEDIA_TYPE_AUDIO) {
+      rate = fmt->streams[i]->codecpar->sample_rate;
+      break;
+    }
+  }
+  avformat_close_input(&fmt);
+  return rate;
+}
+
+void* svt_encoder_open2(const char* path, int w, int h, int fps,
+                        int audio_rate) {
   SvtEncoder* e = new SvtEncoder();
   e->w = w;
   e->h = h;
@@ -382,6 +442,30 @@ void* svt_encoder_open(const char* path, int w, int h, int fps) {
   if (avcodec_open2(e->enc, codec, nullptr) < 0) { delete e; return nullptr; }
   avcodec_parameters_from_context(e->st->codecpar, e->enc);
   e->st->time_base = e->enc->time_base;
+
+  if (audio_rate > 0) {
+    const AVCodec* ac = avcodec_find_encoder(AV_CODEC_ID_AAC);
+    if (!ac) { delete e; return nullptr; }
+    e->ast = avformat_new_stream(e->fmt, nullptr);
+    e->aenc = avcodec_alloc_context3(ac);
+    e->aenc->sample_rate = audio_rate;
+    e->aenc->sample_fmt = AV_SAMPLE_FMT_FLTP;
+    av_channel_layout_default(&e->aenc->ch_layout, 1);  // mono
+    e->aenc->time_base = {1, audio_rate};
+    e->aenc->bit_rate = 96000;
+    if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+      e->aenc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(e->aenc, ac, nullptr) < 0) { delete e; return nullptr; }
+    avcodec_parameters_from_context(e->ast->codecpar, e->aenc);
+    e->ast->time_base = e->aenc->time_base;
+    e->aframe = av_frame_alloc();
+    e->aframe->format = AV_SAMPLE_FMT_FLTP;
+    e->aframe->nb_samples = e->aenc->frame_size;
+    av_channel_layout_copy(&e->aframe->ch_layout, &e->aenc->ch_layout);
+    e->aframe->sample_rate = audio_rate;
+    av_frame_get_buffer(e->aframe, 0);
+  }
+
   if (!(e->fmt->oformat->flags & AVFMT_NOFILE))
     if (avio_open(&e->fmt->pb, path, AVIO_FLAG_WRITE) < 0) { delete e; return nullptr; }
   if (avformat_write_header(e->fmt, nullptr) < 0) { delete e; return nullptr; }
@@ -394,6 +478,19 @@ void* svt_encoder_open(const char* path, int w, int h, int fps) {
   e->sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
                           SWS_BILINEAR, nullptr, nullptr, nullptr);
   return e;
+}
+
+void* svt_encoder_open(const char* path, int w, int h, int fps) {
+  return svt_encoder_open2(path, w, h, fps, 0);
+}
+
+// Append mono float32 PCM samples to the audio track (no-op error when the
+// encoder was opened without audio).
+int svt_encoder_write_audio(void* handle, const float* samples, int n) {
+  SvtEncoder* e = (SvtEncoder*)handle;
+  if (!e->aenc) return -1;
+  e->abuf.insert(e->abuf.end(), samples, samples + n);
+  return svt_enc_pump_audio(e, 0);
 }
 
 int svt_encoder_write(void* handle, const uint8_t* rgb) {
@@ -412,11 +509,14 @@ int svt_encoder_close(void* handle) {
   SvtEncoder* e = (SvtEncoder*)handle;
   avcodec_send_frame(e->enc, nullptr);
   svt_enc_drain(e);
+  if (e->aenc) svt_enc_pump_audio(e, 1);
   av_write_trailer(e->fmt);
   av_packet_free(&e->pkt);
   av_frame_free(&e->frame);
   sws_freeContext(e->sws);
   avcodec_free_context(&e->enc);
+  if (e->aframe) av_frame_free(&e->aframe);
+  if (e->aenc) avcodec_free_context(&e->aenc);
   if (!(e->fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&e->fmt->pb);
   avformat_free_context(e->fmt);
   delete e;

@@ -118,3 +118,34 @@ def test_tts_gated():
 
     with pytest.raises(RuntimeError, match="kokoro"):
         synth_speech("hello", "/tmp/x.wav")
+
+def test_render_caption_video_with_tts_mux(video_path, tmp_path):
+    """Fake synthesiser -> the native encoder muxes an AAC audio track at
+    each segment's start time (reference overlays kokoro audio,
+    baselines/livecc/demo/render/video.py:213)."""
+    rate = 24000
+
+    def fake_synth(text):
+        # 0.5 s tone whose frequency depends on the text
+        t = np.arange(int(0.5 * rate)) / rate
+        return (0.3 * np.sin(2 * np.pi * (220 + 10 * len(text)) * t)).astype(
+            np.float32
+        )
+
+    segs = [
+        {"start": 0.0, "end": 2.0, "text": "hello stream"},
+        {"start": 2.5, "end": 4.0, "text": "second caption"},
+    ]
+    out = str(tmp_path / "tts.mp4")
+    n, drawn = render_caption_video(
+        video_path, segs, out, max_seconds=4.0, synth=fake_synth, audio_rate=rate
+    )
+    assert drawn == 2
+    # the container really has an audio track at the requested rate...
+    assert ingest.audio_rate(out) == rate
+    # ...and the video stream is still intact
+    assert ingest.VideoReader(out).n_frames >= n - 1
+    # a no-synth render stays video-only
+    out2 = str(tmp_path / "plain.mp4")
+    render_caption_video(video_path, segs, out2, max_seconds=2.0)
+    assert ingest.audio_rate(out2) == 0

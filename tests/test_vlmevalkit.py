@@ -233,3 +233,58 @@ def test_vqachat_video_nframe_sampling(tiny_chat, tmp_path):
         dataset="MVBench",
     )
     assert isinstance(pred, str)
+
+
+def test_vqachat_cached_decode_matches_full_reforward(tiny_chat, tmp_path):
+    """The KV-cached generation path must emit exactly the same greedy
+    tokens as a full re-forward per token (the pre-r3 quadratic path)."""
+    import jax.numpy as jnp
+
+    from streaming_vlm_tpu.models.qwen25_vl import model as m
+    from streaming_vlm_tpu.video.ingest import patchify_frames
+
+    tiny_chat.max_new_tokens = 8
+    img = tmp_path / "sq.png"
+    from PIL import Image
+
+    Image.new("RGB", (56, 56), (200, 40, 40)).save(img)
+    msgs = [
+        {"type": "image", "value": str(img)},
+        {"type": "text", "value": "Describe the image in a few words."},
+    ]
+    pred_cached = tiny_chat.generate(msgs)
+
+    # oracle: the old quadratic loop over forward_full
+    cfg = tiny_chat.cfg
+    tok = cfg.tokens
+    frames = tiny_chat._load_image(str(img))
+    patches, grid = patchify_frames(
+        frames, patch_size=cfg.vision.patch_size,
+        temporal_patch_size=cfg.vision.temporal_patch_size,
+        merge_size=cfg.vision.spatial_merge_size,
+    )
+    n = patches.shape[0] // cfg.vision.spatial_merge_unit
+    body = (
+        f"<|vision_start|>{'<|image_pad|>' * n}<|vision_end|>"
+        "Describe the image in a few words."
+    )
+    prompt = (
+        f"<|im_start|>system\n{tiny_chat.system_prompt}<|im_end|>\n"
+        f"<|im_start|>user\n{body}<|im_end|>\n<|im_start|>assistant\n"
+    )
+    ids = np.asarray(tiny_chat.encode(prompt), np.int32)
+    out = []
+    for _ in range(8):
+        logits = np.asarray(
+            m.forward_full(
+                cfg, tiny_chat.params, ids,
+                pixel_patches=jnp.asarray(patches),
+                image_grid_thw=np.array([list(grid)]),
+            )
+        )[-1]
+        nxt = int(np.argmax(logits))
+        if nxt == tok.im_end:
+            break
+        out.append(nxt)
+        ids = np.concatenate([ids, [nxt]]).astype(np.int32)
+    assert pred_cached == tiny_chat.decode(out)
