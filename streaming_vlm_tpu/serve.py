@@ -315,6 +315,17 @@ def streaming_inference(
     # idles while the host decodes text / writes VTT / assembles prompts.
     # Recompute mode (efficiency config c) re-encodes whole windows per chunk
     # and keeps the simple synchronous path.
+    #
+    # SECTION-TIMING SEMANTICS UNDER PIPELINING (vs reference
+    # inference.py:312-329): chunk i's GEN section closes in finish_chunk,
+    # AFTER the host has also read chunk i+1's video and dispatched its
+    # encode — so GEN includes that overlap window (it is wall-clock until
+    # chunk i's tokens materialise, which is what real-time streaming
+    # cares about), while VIDEO covers only the host-blocking part of the
+    # read. Per-section numbers therefore sum to the loop total but split
+    # differently from the reference's strictly-serial fences; for
+    # reference-semantics sections, run with recompute=True (synchronous)
+    # or use bench.py's per-chunk wall times.
     next_embeds = None
     next_video = None  # (patches, grid) already read for the NEXT chunk
     for i in range(num_chunks):

@@ -572,7 +572,18 @@ class StreamingEngine:
         """Apply this round's eviction policy and compact the arena. The
         gather dispatches IMMEDIATELY (before prompt assembly): the device
         compacts while the host builds the chunk — measured ~16 ms/chunk
-        faster than fusing the gather into chunk_step."""
+        faster than fusing the gather into chunk_step.
+
+        SVT_PERF_SKIP_COMPACT=1 is a PERF-ABLATION ONLY (results become
+        numerically wrong): it skips the compaction dispatch while keeping
+        every other cost identical, which upper-bounds what a ring-buffer
+        arena (eviction = pointer advance, no gather) could ever win
+        end-to-end (VERDICT r2 next #6). Use via bench.py
+        --ab SVT_PERF_SKIP_COMPACT=1 — if the delta is ~0, the gather is
+        fully hidden behind host work by the pipeline and the ring redesign
+        cannot pay for its complexity."""
+        import os
+
         plan = self.table.evict(
             self.chunk_index,
             text_round=self.stream.text_round,
@@ -581,7 +592,7 @@ class StreamingEngine:
             text_sliding_window=self.stream.text_sliding_window,
         )
         new_len = int(plan.src.shape[0])
-        if plan.changed:
+        if plan.changed and os.environ.get("SVT_PERF_SKIP_COMPACT") != "1":
             C = self.stream.kv_capacity
             src = np.zeros(C, np.int32)
             src[:new_len] = plan.src
