@@ -118,11 +118,15 @@ def run_stream(args):
     engine = StreamingEngine(
         cfg, params, stream, sampling, dtype=jnp.bfloat16, mesh=mesh
     )
-    # Compile EVERY configured executable before chunk 0: compaction, the
-    # frames->embeddings vision pipeline, and chunk_step for both prefill
-    # buckets (640 steady / 1024 for chunk 0 and qa-injection overflows).
+    # Compile EVERY configured executable before chunk 0: compaction and
+    # chunk_step for both prefill buckets (640 steady / 1024 for chunk 0 and
+    # qa-injection overflows). The frames->embeddings vision pipeline is
+    # compiled by the pre-loop encode below — still before the timed region
+    # — and NOT here: on this tunnel, interleaving the heavy vision compile
+    # with the chunk_step compiles in one call intermittently faults the
+    # remote compiler (observed 4/4 on 2026-08-17; each piece alone is fine).
     t_warm = time.perf_counter()
-    n_exec = engine.prewarm(grids=(grid,), vision="frames")
+    n_exec = engine.prewarm(grids=(grid,), vision="none")
     print(
         f"[prewarm] {n_exec} chunk_step variants + vision + compaction in "
         f"{time.perf_counter() - t_warm:.1f} s",
@@ -302,6 +306,34 @@ def run_ab(args):
     }))
 
 
+def run_with_retries(args, argv):
+    """The axon tunnel intermittently faults (UNAVAILABLE mid-compile) and
+    wedges for minutes; a failed single-shot run would cost the driver its
+    whole artifact. Re-exec the bench as a worker subprocess with backoff
+    until it emits its JSON line (the backend cannot be re-initialised
+    in-process after a device fault)."""
+    delays = (0, 60, 600)
+    for i, d in enumerate(delays):
+        if d:
+            print(f"[retry] attempt {i + 1} in {d} s", file=sys.stderr, flush=True)
+            time.sleep(d)
+        env = dict(os.environ, SVT_BENCH_WORKER="1")
+        # stderr inherits (live per-chunk progress); stdout captured for JSON
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + argv,
+            env=env, stdout=subprocess.PIPE, text=True, timeout=7200,
+        )
+        lines = [l for l in (out.stdout or "").strip().splitlines() if l.startswith("{")]
+        if out.returncode == 0 and lines:
+            print(lines[-1])
+            return
+    print(json.dumps({
+        "metric": f"streaming_ingest_fps_{args.model}",
+        "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
+        "error": "tunnel/device unavailable after retries",
+    }))
+
+
 def main():
     import argparse
 
@@ -330,6 +362,14 @@ def main():
 
     if args.ab:
         return run_ab(args)
+
+    if (
+        os.environ.get("SVT_BENCH_WORKER") != "1"
+        and args.model != "tiny"  # CPU smoke needs no retry shell
+    ):
+        import sys as _sys
+
+        return run_with_retries(args, _sys.argv[1:])
 
     cfg, stream, engine, ingest_fps, checks = run_stream(args)
     if args.model != "tiny":

@@ -51,6 +51,8 @@ class StreamingSession:
         previous_text: str = "",
         query: str = DEFAULT_QUERY,
         recompute: bool = False,
+        spec_decode: bool = False,  # speculative decoding (n-gram draft)
+        spec_k: int = 7,
         dtype=None,
     ):
         import jax.numpy as jnp
@@ -62,6 +64,13 @@ class StreamingSession:
         self.engine = StreamingEngine(
             cfg, params, self.stream, self.sampling, dtype=dtype or jnp.bfloat16
         )
+        self.spec_decode = spec_decode
+        self.spec_k = spec_k
+        self._draft = None
+        if spec_decode:
+            from .streaming.specdecode import NGramDraft
+
+            self._draft = NGramDraft(n=2)
         if hasattr(tokenizer, "convert_tokens_to_ids"):  # HF tokenizer
             from .streaming.protocol import hf_encode_fn
 
@@ -113,6 +122,28 @@ class StreamingSession:
         """Ingest chunk i and generate. Returns (response text, generated ids).
         `question` is a mid-stream qa_stream injection appended to the Time
         text (reference lmm_dataset.py:227-237)."""
+        if self.spec_decode:
+            assert not self.recompute, "spec decode + recompute not supported"
+            segs = self._build_segs(i, start_time, grid_thw, question)
+            gen, _ = self.engine.process_chunk_spec(
+                segs,
+                pixel_patches=pixel_patches,
+                grid_thw=tuple(int(x) for x in grid_thw),
+                frames_u8=frames_u8,
+                vis_embeds=vis_embeds,
+                draft_fn=self._draft,
+                k_draft=self.spec_k,
+                timer=timer,
+            )
+            if forced_response_ids is not None:
+                # spec commits KV inline; GT forcing rolls it back like AR
+                self.engine.rollback_generation(len(gen))
+                gen = np.asarray(forced_response_ids, np.int32)
+                self.engine.append_uncached(gen)
+            if self._draft is not None:
+                self._draft.observe(gen)
+            self.engine.commit_assistant(gen, self.end_bias, i)
+            return self._decode_text(gen), gen
         handle = self.run_chunk_async(
             i,
             start_time,
@@ -124,6 +155,36 @@ class StreamingSession:
             timer=timer,
         )
         return self.finish_chunk(i, handle, forced_response_ids=forced_response_ids)
+
+    def _build_segs(self, i: int, start_time: float, grid_thw, question: str = ""):
+        """Per-round prompt segments (reference inference.py:370-388)."""
+        st = self.stream
+        spgt = 2.0 / st.fps  # reference pos_emb.py:104
+        end_time = start_time + st.chunk_duration
+        n_vid_tokens = (
+            int(grid_thw[0])
+            * (int(grid_thw[1]) // self.cfg.vision.spatial_merge_size)
+            * (int(grid_thw[2]) // self.cfg.vision.spatial_merge_size)
+        )
+        segs = []
+        if i == 0:
+            segs.append(self.builder.system_segment())
+            segs.extend(self.builder.previous_text_segments(self.previous_text))
+            segs.extend(
+                self.builder.user_turn_segments(
+                    0, start_time, end_time, n_vid_tokens, tuple(grid_thw), spgt,
+                    query=self.query, question=question,
+                )
+            )
+        else:
+            segs.extend(
+                self.builder.user_turn_segments(
+                    i, start_time, end_time, n_vid_tokens, tuple(grid_thw), spgt,
+                    question=question,
+                )
+            )
+        segs.extend(self.builder.assistant_open_segments(i))
+        return segs
 
     def run_chunk_async(
         self,
@@ -144,34 +205,8 @@ class StreamingSession:
         def sec(name):
             return timer.section(name) if timer else contextlib.nullcontext()
 
-        st = self.stream
-        spgt = 2.0 / st.fps  # reference pos_emb.py:104
-        end_time = start_time + st.chunk_duration
-        n_vid_tokens = (
-            int(grid_thw[0])
-            * (int(grid_thw[1]) // self.cfg.vision.spatial_merge_size)
-            * (int(grid_thw[2]) // self.cfg.vision.spatial_merge_size)
-        )
-
         with sec("INPUT"):
-            segs = []
-            if i == 0:
-                segs.append(self.builder.system_segment())
-                segs.extend(self.builder.previous_text_segments(self.previous_text))
-                segs.extend(
-                    self.builder.user_turn_segments(
-                        0, start_time, end_time, n_vid_tokens, tuple(grid_thw), spgt,
-                        query=self.query, question=question,
-                    )
-                )
-            else:
-                segs.extend(
-                    self.builder.user_turn_segments(
-                        i, start_time, end_time, n_vid_tokens, tuple(grid_thw), spgt,
-                        question=question,
-                    )
-                )
-            segs.extend(self.builder.assistant_open_segments(i))
+            segs = self._build_segs(i, start_time, grid_thw, question)
 
         if self.recompute:
             # config (c): drop the cache, re-encode and re-prefill the whole
@@ -247,6 +282,7 @@ def streaming_inference(
     time_test: bool = False,
     gt_lookup: Optional[Dict[str, str]] = None,
     recompute: bool = False,
+    spec_decode: bool = False,
     dtype=None,
 ):
     """Chunked streaming inference over a video file. Returns the list of
@@ -268,6 +304,7 @@ def streaming_inference(
         previous_text=previous_text,
         query=query,
         recompute=recompute,
+        spec_decode=spec_decode,
         dtype=dtype,
     )
 
@@ -352,13 +389,24 @@ def streaming_inference(
                         session.builder.encode(forced_text), np.int32
                     )
 
-        handle = session.run_chunk_async(
-            i, start_time,
-            pixel_patches=None if next_embeds is not None else patches,
-            vis_embeds=next_embeds, grid_thw=grid, timer=timer,
-        )
-        next_embeds = None
-        if not recompute and i + 1 < num_chunks:
+        if spec_decode:
+            # spec rounds are host-sequential; run the synchronous path
+            # (video read prefetch still overlaps via the pool)
+            response, gen = session.run_chunk(
+                i, start_time,
+                pixel_patches=None if next_embeds is not None else patches,
+                vis_embeds=next_embeds, grid_thw=grid, timer=timer,
+                forced_response_ids=forced,
+            )
+            next_embeds = None
+        else:
+            handle = session.run_chunk_async(
+                i, start_time,
+                pixel_patches=None if next_embeds is not None else patches,
+                vis_embeds=next_embeds, grid_thw=grid, timer=timer,
+            )
+            next_embeds = None
+        if not spec_decode and not recompute and i + 1 < num_chunks:
             # overlap: encode chunk i+1 while chunk i's step runs
             try:
                 nxt = pending.result()
@@ -369,7 +417,10 @@ def streaming_inference(
                 next_embeds = session.encode_patches(nxt[0], nxt[1])
             except Exception:
                 next_video = None  # surfaced on the next iteration's VIDEO read
-        response, gen = session.finish_chunk(i, handle, forced_response_ids=forced)
+        if not spec_decode:
+            response, gen = session.finish_chunk(
+                i, handle, forced_response_ids=forced
+            )
 
         with timer.section("POST"):
             clean = response[:-4] if response.endswith(" ...") else response

@@ -470,10 +470,30 @@ class StreamingEngine:
 
         With no arguments this compiles only the compaction executable (the
         round-2 behaviour). Returns the number of chunk_step variants
-        compiled. The engine's sampling rng is NOT consumed."""
+        compiled. The engine's sampling rng is NOT consumed.
+
+        SVT_PREWARM_VERBOSE=1 fences + logs after every phase (fault
+        localisation on a flaky device)."""
+        import os
+        import sys as _sys
+        import time as _time
+
+        verbose = os.environ.get("SVT_PREWARM_VERBOSE") == "1"
+
+        def _fence(tag):
+            if verbose:
+                t0 = _time.perf_counter()
+                jax.block_until_ready(self.k_arena)
+                print(
+                    f"[prewarm] {tag} ok (+{_time.perf_counter() - t0:.1f}s)",
+                    file=_sys.stderr,
+                    flush=True,
+                )
+
         self.k_arena, self.v_arena, self.ids_arena = compact_arena(
             self.k_arena, self.v_arena, self.ids_arena, self._ident_src
         )
+        _fence("compaction")
 
         from ..models.qwen25_vl import model as _model
 
@@ -495,6 +515,7 @@ class StreamingEngine:
                         self.cfg, self.params, frames, g, dtype=self.dtype
                     )
                 )
+                _fence(f"frames-encode {g}")
             if vision in ("patches", "both"):
                 patch_dim = (
                     vcfg.in_channels * vcfg.temporal_patch_size * vcfg.patch_size**2
@@ -503,6 +524,7 @@ class StreamingEngine:
                 jax.block_until_ready(
                     _model.encode_video(self.cfg, self.params, px, (g,))
                 )
+                _fence(f"patches-encode {g}")
 
         st = self.stream
         if st.pos_mode == "shrink":
@@ -565,6 +587,7 @@ class StreamingEngine:
                         jax.random.PRNGKey(0),
                     )
                     n_compiled += 1
+                    _fence(f"chunk_step t_pad={t_pad} max_new={max_new} n_vis={n_vis}")
         jax.block_until_ready(self.k_arena)
         return n_compiled
 

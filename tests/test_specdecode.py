@@ -158,3 +158,32 @@ def test_spec_sampling_runs_and_respects_budget(params):
         assert n <= stream.max_tokens_per_chunk + 1
         engine.commit_assistant(gen, end_bias, i)
         assert engine.cached + engine.uncached_tail == engine.table.total_len()
+
+
+def test_streaming_inference_spec_decode_matches_ar(params, tmp_path):
+    """The serve loop with spec_decode=True produces the same greedy
+    responses as the default pipelined loop over a real video file."""
+    from streaming_vlm_tpu.config import VideoConfig
+    from streaming_vlm_tpu.serve import streaming_inference
+    from streaming_vlm_tpu.video import ingest
+
+    vid = str(tmp_path / "clip.mp4")
+    ingest.build_native()
+    ingest.write_test_video(vid, w=64, h=48, n_frames=60, fps=10)
+    kw = dict(
+        cfg=CFG, params=params,
+        tokenizer=FakeTokenizer(TOK), video_path=vid,
+        stream=StreamConfig(
+            window_size=3, text_round=3, text_sink=8, text_sliding_window=8,
+            max_tokens_per_chunk=4, kv_capacity=1024,
+            prefill_buckets=(64, 128), chunk_duration=1,
+        ),
+        sampling=SamplingConfig(do_sample=False, repetition_penalty=1.05),
+        video=VideoConfig(
+            fps=2.0, video_min_pixels=28 * 28, video_max_pixels=16 * 28 * 28
+        ),
+        duration=5.0, quiet=True, dtype=jnp.float32,
+    )
+    ar = streaming_inference(**kw)
+    sp = streaming_inference(spec_decode=True, **kw)
+    assert [r["response"] for r in ar] == [r["response"] for r in sp]
