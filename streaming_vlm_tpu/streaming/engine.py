@@ -94,6 +94,28 @@ def compact_arena(
     )
 
 
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def compact_arena_batched(
+    k_arena: jnp.ndarray,  # [B, L, C, Hkv, hd]
+    v_arena: jnp.ndarray,
+    ids_arena: jnp.ndarray,  # [B, C]
+    src_idx: jnp.ndarray,  # [B, C] (identity rows for unchanged streams)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-stream arena gathers for the multi-stream engine, one dispatch."""
+
+    def one(k, v, ids, src):
+        shp = k.shape
+        k3 = k.reshape(shp[0], shp[1], -1)
+        v3 = v.reshape(shp[0], shp[1], -1)
+        return (
+            jnp.take(k3, src, axis=1).reshape(shp),
+            jnp.take(v3, src, axis=1).reshape(shp),
+            jnp.take(ids, src, axis=0),
+        )
+
+    return jax.vmap(one)(k_arena, v_arena, ids_arena, src_idx)
+
+
 @dataclasses.dataclass
 class ChunkHandle:
     """In-flight chunk: device futures + the host state finish_chunk needs."""
@@ -160,6 +182,58 @@ def chunk_step(
     separate compact_arena dispatch runs on-device DURING host-side prompt
     assembly, so its ~4 ms is free, and dispatch latency is already hidden
     by the async pipeline. Keep compaction a separate dispatch."""
+    return _chunk_step_impl(
+        statics, params, k_arena, v_arena, slot_positions, tokens,
+        vis_embeds, vis_slots, ids_arena, insert_at, n_real, eos_id, rng,
+    )
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 8))
+def chunk_step_batched(
+    statics: ChunkStatics,
+    params: Params,
+    k_arena: jnp.ndarray,  # [B, L, C, Hkv, hd] — stacked per-stream arenas
+    v_arena: jnp.ndarray,
+    slot_positions,  # [B, 3, C] f32, or descriptor dict of [B, max_segs]
+    tokens: jnp.ndarray,  # [B, t_pad]
+    vis_embeds: Optional[jnp.ndarray],  # [B, N_vis, D] or None
+    vis_slots: Optional[jnp.ndarray],  # [B, N_vis]
+    ids_arena: jnp.ndarray,  # [B, C]
+    insert_at: jnp.ndarray,  # [B]
+    n_real: jnp.ndarray,  # [B]
+    eos_id: jnp.ndarray,  # [B]
+    rng: jax.Array,  # [B, 2] per-stream keys
+):
+    """Multi-stream serving step: `chunk_step` vmapped over B independent
+    streams sharing one set of weights (a capability the reference lacks —
+    one stream per GPU, inference.py:72-74). At B=1 decode is weight-HBM-
+    bandwidth-bound (docs/ROOFLINE_7B.md), so the per-layer weight reads
+    amortise across streams: aggregate decode throughput scales ~B× until
+    the MXU becomes the binding resource. Statics are shared (one bucket:
+    pad every stream's chunk to the common t_pad; per-stream `n_real` keeps
+    correctness)."""
+    f = partial(_chunk_step_impl, statics, params)
+    return jax.vmap(f)(
+        k_arena, v_arena, slot_positions, tokens, vis_embeds, vis_slots,
+        ids_arena, insert_at, n_real, eos_id, rng,
+    )
+
+
+def _chunk_step_impl(
+    statics: ChunkStatics,
+    params: Params,
+    k_arena: jnp.ndarray,
+    v_arena: jnp.ndarray,
+    slot_positions,
+    tokens: jnp.ndarray,
+    vis_embeds: Optional[jnp.ndarray],
+    vis_slots: Optional[jnp.ndarray],
+    ids_arena: jnp.ndarray,
+    insert_at: jnp.ndarray,
+    n_real: jnp.ndarray,
+    eos_id: jnp.ndarray,
+    rng: jax.Array,
+):
     rng, _chunk_key = jax.random.split(rng)
     cfg = statics.cfg
     tcfg = cfg.text
@@ -350,6 +424,7 @@ class StreamingEngine:
         sampling: SamplingConfig,
         dtype=jnp.bfloat16,
         mesh=None,  # jax.sharding.Mesh: TP-sharded streaming (7B on v5e-8)
+        allocate_arena: bool = True,  # False: arena owned externally
     ):
         from .segments import SegmentTable
 
@@ -360,18 +435,23 @@ class StreamingEngine:
         self.dtype = dtype
         self.table = SegmentTable(all_text=stream.all_text)
         C = stream.kv_capacity
-        self._check_hbm_budget()
-        self.k_arena, self.v_arena = language.init_kv_arena(cfg.text, C, dtype)
-        if mesh is not None:
-            # the arena lives sharded over KV heads: each device keeps the
-            # cache of the attention heads it owns; eviction gathers and
-            # chunk-block merges stay device-local (no resharding traffic)
-            from ..parallel.mesh import arena_sharding
+        if allocate_arena:
+            self._check_hbm_budget()
+            self.k_arena, self.v_arena = language.init_kv_arena(cfg.text, C, dtype)
+            if mesh is not None:
+                # the arena lives sharded over KV heads: each device keeps the
+                # cache of the attention heads it owns; eviction gathers and
+                # chunk-block merges stay device-local (no resharding traffic)
+                from ..parallel.mesh import arena_sharding
 
-            sh = arena_sharding(mesh, cfg.text.num_key_value_heads)
-            self.k_arena = jax.device_put(self.k_arena, sh)
-            self.v_arena = jax.device_put(self.v_arena, sh)
-        self.ids_arena = jnp.zeros((C,), jnp.int32)
+                sh = arena_sharding(mesh, cfg.text.num_key_value_heads)
+                self.k_arena = jax.device_put(self.k_arena, sh)
+                self.v_arena = jax.device_put(self.v_arena, sh)
+            self.ids_arena = jnp.zeros((C,), jnp.int32)
+        else:
+            # MultiStreamEngine owns the stacked [B, ...] arenas; this
+            # per-stream engine keeps only host accounting (table/positions).
+            self.k_arena = self.v_arena = self.ids_arena = None
         # identity gather for non-evicting chunks (uploaded once, reused)
         self._ident_src = jnp.arange(C, dtype=jnp.int32)
         self.cached = 0  # arena slots holding valid KV (table prefix)
@@ -591,6 +671,26 @@ class StreamingEngine:
         jax.block_until_ready(self.k_arena)
         return n_compiled
 
+    def evict_plan(self):
+        """Apply this round's eviction policy to the SEGMENT TABLE only and
+        return the arena gather plan (host accounting updated; no device
+        dispatch). Callers that own the arena themselves (MultiStreamEngine)
+        use this + a batched gather; `evict()` is the single-stream form."""
+        plan = self.table.evict(
+            self.chunk_index,
+            text_round=self.stream.text_round,
+            visual_round=self.stream.visual_round,
+            text_sink=self.stream.text_sink,
+            text_sliding_window=self.stream.text_sliding_window,
+        )
+        new_len = int(plan.src.shape[0])
+        if plan.changed and self.stream.pos_mode == "append":
+            # positions travel with their slots; no re-indexing
+            self._pos_host[:, :new_len] = self._pos_host[:, plan.src]
+        # the uncached tail is always the newest tokens — still at the end
+        self.cached = new_len - self.uncached_tail
+        return plan
+
     def evict(self) -> None:
         """Apply this round's eviction policy and compact the arena. The
         gather dispatches IMMEDIATELY (before prompt assembly): the device
@@ -607,26 +707,14 @@ class StreamingEngine:
         cannot pay for its complexity."""
         import os
 
-        plan = self.table.evict(
-            self.chunk_index,
-            text_round=self.stream.text_round,
-            visual_round=self.stream.visual_round,
-            text_sink=self.stream.text_sink,
-            text_sliding_window=self.stream.text_sliding_window,
-        )
-        new_len = int(plan.src.shape[0])
+        plan = self.evict_plan()
         if plan.changed and os.environ.get("SVT_PERF_SKIP_COMPACT") != "1":
             C = self.stream.kv_capacity
             src = np.zeros(C, np.int32)
-            src[:new_len] = plan.src
+            src[: plan.src.shape[0]] = plan.src
             self.k_arena, self.v_arena, self.ids_arena = compact_arena(
                 self.k_arena, self.v_arena, self.ids_arena, jnp.asarray(src)
             )
-            if self.stream.pos_mode == "append":
-                # positions travel with their slots; no re-indexing
-                self._pos_host[:, :new_len] = self._pos_host[:, plan.src]
-        # the uncached tail is always the newest tokens — still at the end
-        self.cached = new_len - self.uncached_tail
 
     def mark_all_uncached(self) -> None:
         """Invalidate the whole cache: every table token re-prefills with the
@@ -737,6 +825,7 @@ class StreamingEngine:
         eos_id: Optional[int] = None,
         timer=None,
         extra_slots: int = 0,  # decode-delta slack beyond max_new (spec decode)
+        evict: bool = True,  # False: caller already ran evict_plan + gather
     ) -> Dict[str, Any]:
         """Shared host-side chunk preparation: eviction, table append, token
         assembly, position descriptors/arrays, vision encode dispatch,
@@ -751,7 +840,8 @@ class StreamingEngine:
             return timer.section(name, sync=sync) if timer else contextlib.nullcontext()
 
         with sec("PKV", sync=(lambda: _jax.block_until_ready(self.k_arena)) if timer else None):
-            self.evict()
+            if evict:
+                self.evict()
             if recompute:
                 self.mark_all_uncached()
         _input_cm = sec("INPUT")

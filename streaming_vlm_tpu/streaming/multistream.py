@@ -1,0 +1,421 @@
+"""Multi-stream batched serving: N independent live streams on ONE chip.
+
+The reference serves exactly one stream per GPU (`device_map="cuda"`,
+reference inference.py:72-74); scaling to N viewers means N GPUs. On TPU the
+economics invert: single-stream decode is weight-HBM-bandwidth-bound (3B int8
+decode dense ~5.2 ms/tok vs a 3.7 ms weight-read roofline; docs/ROOFLINE_7B.md
+for 7B), so the per-layer weight reads — the dominant cost — can be shared.
+Batching B streams into one `chunk_step` amortises every weight read across
+B token streams: aggregate decode throughput scales ~B× until the MXU (not
+HBM) becomes the binding resource. Prefill is already MXU-bound and scales
+~linearly, so the aggregate win settles between 1× and B× — measured with
+`bench.py --streams N` (BENCH artifact carries the aggregate FPS).
+
+Design: one stacked KV arena [B, L, C, Hkv, hd] + per-stream host
+`StreamingEngine` instances (allocate_arena=False) that keep ONLY host state
+(segment table, positions, cached/uncached accounting). Per round:
+
+  1. every stream's eviction policy runs on the host (`evict_plan`), and the
+     per-stream gather indices go to ONE `compact_arena_batched` dispatch;
+  2. every stream's chunk is prepared by the SAME `_prepare_chunk` code the
+     single-stream engine uses (evict=False), then padded to a COMMON prefill
+     bucket and stacked;
+  3. one `chunk_step_batched` (vmapped `chunk_step`) prefills + decodes all
+     streams in lockstep — per-stream `n_real`/`insert_at`/positions/rng keep
+     every stream's results exactly what a solo engine would produce
+     (equivalence-tested in tests/test_multistream.py).
+
+Streams advance in lockstep rounds (every stream ingests one chunk per
+round). Streams may produce different chunk lengths (their `Time=a-bs` digits
+differ etc.) — the shared bucket covers the max. Per-stream early-eos works
+as in the single engine (done streams emit eos padding in the scan).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, SamplingConfig, StreamConfig
+from ..models.qwen25_vl import language, model
+from .engine import (
+    ChunkHandle,
+    ChunkStatics,
+    StreamingEngine,
+    chunk_step_batched,
+    compact_arena_batched,
+)
+
+Params = Dict[str, Any]
+
+
+class MultiStreamEngine:
+    """Owns the stacked device arena for B streams + B host-side engines."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: Params,
+        stream: StreamConfig,
+        sampling: SamplingConfig,
+        n_streams: int,
+        dtype=jnp.bfloat16,
+    ):
+        assert n_streams >= 1
+        self.cfg = cfg
+        self.params = params
+        self.stream = stream
+        self.sampling = sampling
+        self.dtype = dtype
+        self.n = n_streams
+        self.engines = [
+            StreamingEngine(
+                cfg, params, stream, sampling, dtype=dtype, allocate_arena=False
+            )
+            for _ in range(n_streams)
+        ]
+        self._check_hbm_budget()
+        t = cfg.text
+        C = stream.kv_capacity
+        shape = (n_streams, t.num_hidden_layers, C, t.num_key_value_heads, t.head_dim)
+        self.k_arena = jnp.zeros(shape, dtype)
+        self.v_arena = jnp.zeros(shape, dtype)
+        self.ids_arena = jnp.zeros((n_streams, C), jnp.int32)
+        self._ident_src = np.arange(C, dtype=np.int32)
+        self.rngs = jax.random.split(jax.random.PRNGKey(sampling.seed), n_streams)
+        self._inflight: Optional[List[ChunkHandle]] = None
+        self._inflight_meta = None
+
+    # ------------------------------------------------------------------ sizing
+    def _check_hbm_budget(self) -> None:
+        """Single-stream check scaled by B: B arenas + B rotated copies +
+        ONE shared set of params (that sharing is the whole point)."""
+        import os
+
+        t = self.cfg.text
+        C = self.stream.kv_capacity
+        item = jnp.dtype(self.dtype).itemsize
+        arena = (
+            2 * self.n * t.num_hidden_layers * C * t.num_key_value_heads
+            * t.head_dim * item
+        )
+        rot = arena // 2 if self.stream.effective_prerotate else 0
+        par = sum(
+            x.size * jnp.dtype(x.dtype).itemsize
+            for x in jax.tree_util.tree_leaves(self.params)
+            if hasattr(x, "size")
+        )
+        budget = int(os.environ.get("SVT_HBM_BYTES", 0))
+        if not budget:
+            try:
+                budget = jax.devices()[0].memory_stats().get("bytes_limit", 0)
+            except Exception:
+                budget = 0
+            budget = budget or 16 * 2**30
+        need = int((arena + rot + par) * 1.1)
+        if need > budget:
+            gb = 2**30
+            per_stream = (arena + rot) / self.n
+            max_b = int((budget / 1.1 - par) / per_stream)
+            raise ValueError(
+                f"HBM budget exceeded: {self.n} stream arenas "
+                f"{arena / gb:.2f} GiB"
+                + (f" + rotated copies {rot / gb:.2f} GiB" if rot else "")
+                + f" + params {par / gb:.2f} GiB > budget {budget / gb:.2f} "
+                f"GiB. Fix: at this kv_capacity the chip fits at most "
+                f"{max_b} streams (or lower kv_capacity / set "
+                f"prerotate_arena=False). Override with $SVT_HBM_BYTES."
+            )
+
+    # ------------------------------------------------------------------ vision
+    def encode_round(self, pixel_patches, grid_thw) -> jnp.ndarray:
+        """Encode every stream's chunk in ONE vision dispatch.
+        `pixel_patches` is [B, S, patch_dim] (same grid per stream this
+        round); returns [B, S // merge_unit, D]. Uses the multi-grid
+        `encode_video` executable (windowed attention stays per-stream:
+        window cu_seqlens never cross grid boundaries)."""
+        B, S, pd = pixel_patches.shape
+        assert B == self.n
+        grids = tuple(tuple(int(x) for x in grid_thw) for _ in range(B))
+        flat = jnp.asarray(pixel_patches, self.dtype).reshape(B * S, pd)
+        emb = model.encode_video(self.cfg, self.params, flat, grids)
+        mu = self.cfg.vision.spatial_merge_unit
+        return emb.reshape(B, S // mu, emb.shape[-1])
+
+    # ------------------------------------------------------------------ round
+    def process_round_async(
+        self,
+        chunk_segs: Sequence[List],  # B lists of Seg
+        *,
+        vis_embeds=None,  # [B, N_vis, D] or None (text-only round)
+        grid_thw: Optional[Tuple[int, int, int]] = None,
+        max_new: Optional[int] = None,
+        eos_id: Optional[int] = None,
+        eos_threshold: Optional[Tuple[int, float, float]] = None,
+    ) -> List[ChunkHandle]:
+        """Evict + ingest one chunk per stream, dispatch ONE batched step.
+        Returns per-stream handles; call finish_round() to materialise."""
+        assert self._inflight is None, "previous round not finished"
+        assert len(chunk_segs) == self.n
+        st = self.stream
+
+        # 1. eviction: host table edits, then one batched gather
+        plans = [e.evict_plan() for e in self.engines]
+        if any(p.changed for p in plans):
+            C = st.kv_capacity
+            src = np.tile(self._ident_src, (self.n, 1))
+            for b, p in enumerate(plans):
+                if p.changed:
+                    src[b, : p.src.shape[0]] = p.src
+            self.k_arena, self.v_arena, self.ids_arena = compact_arena_batched(
+                self.k_arena, self.v_arena, self.ids_arena, jnp.asarray(src)
+            )
+
+        # 2. per-stream host prep via the single-stream code path
+        preps = [
+            e._prepare_chunk(
+                list(chunk_segs[b]),
+                vis_embeds=None if vis_embeds is None else vis_embeds[b],
+                grid_thw=grid_thw,
+                max_new=max_new,
+                eos_id=eos_id,
+                evict=False,
+            )
+            for b, e in enumerate(self.engines)
+        ]
+        max_new = preps[0]["max_new"]
+
+        # common bucket: every stream pads to the round's largest
+        t_pad = max(p["t_pad"] for p in preps)
+        pad_tok = self.cfg.tokens.pad
+        toks = []
+        for b, p in enumerate(preps):
+            tk = p["tokens"]
+            if tk.shape[0] < t_pad:
+                tk = jnp.concatenate(
+                    [tk, jnp.full((t_pad - tk.shape[0],), pad_tok, jnp.int32)]
+                )
+            hw = max(self.engines[b].cached + t_pad, p_high_water(self, b, p, max_new))
+            if hw > st.kv_capacity:
+                raise ValueError(
+                    f"stream {b}: shared bucket {t_pad} overflows kv_capacity "
+                    f"{st.kv_capacity} at cached={self.engines[b].cached}; "
+                    f"raise kv_capacity or align stream protocols"
+                )
+            toks.append(tk)
+        tokens = jnp.stack(toks)
+
+        # positions: stack per-stream descriptor tables (shrink) or [3, C]
+        if st.pos_mode == "shrink":
+            keys = preps[0]["slot_pos"].keys()
+            max_segs = max(p["slot_pos"]["starts"].shape[0] for p in preps)
+            fill = {"starts": 2**30, "ghs": 1, "gws": 1, "tsteps": 1.0}
+            slot_pos = {}
+            for k in keys:
+                rows = []
+                for p in preps:
+                    v = p["slot_pos"][k]
+                    if v.shape[0] < max_segs:
+                        v = jnp.concatenate(
+                            [
+                                v,
+                                jnp.full(
+                                    (max_segs - v.shape[0],), fill.get(k, 0), v.dtype
+                                ),
+                            ]
+                        )
+                    rows.append(v)
+                slot_pos[k] = jnp.stack(rows)
+        else:
+            slot_pos = jnp.stack([p["slot_pos"] for p in preps])
+
+        vs = None
+        ve = None
+        if vis_embeds is not None:
+            n_vis = {None if p["vis_slots"] is None else p["vis_slots"].shape[0] for p in preps}
+            assert len(n_vis) == 1 and None not in n_vis, (
+                "all streams must carry the same video-token count per round "
+                f"(got {n_vis}); mixed rounds are not supported in batched mode"
+            )
+            vs = jnp.stack([p["vis_slots"] for p in preps])
+            ve = jnp.asarray(vis_embeds, self.dtype)
+
+        statics = ChunkStatics(
+            cfg=self.cfg,
+            t_pad=t_pad,
+            max_new=max_new,
+            temperature=self.sampling.temperature,
+            repetition_penalty=self.sampling.repetition_penalty,
+            do_sample=self.sampling.do_sample,
+            eos_threshold=eos_threshold,
+            use_descriptors=(st.pos_mode == "shrink"),
+            prerotate=st.effective_prerotate,
+        )
+        insert_at = jnp.asarray([e.cached for e in self.engines], jnp.int32)
+        n_real = jnp.asarray([p["n_real"] for p in preps], jnp.int32)
+        eos = jnp.asarray([p["eos"] for p in preps], jnp.int32)
+        (
+            self.k_arena,
+            self.v_arena,
+            self.ids_arena,
+            gen,
+            n_gen,
+            self.rngs,
+        ) = chunk_step_batched(
+            statics,
+            self.params,
+            self.k_arena,
+            self.v_arena,
+            slot_pos,
+            tokens,
+            ve,
+            vs,
+            self.ids_arena,
+            insert_at,
+            n_real,
+            eos,
+            self.rngs,
+        )
+        handles = []
+        for b, (p, e) in enumerate(zip(preps, self.engines)):
+            h = ChunkHandle(
+                gen=gen[b],
+                n_gen=n_gen[b],
+                n_real=p["n_real"],
+                next_p=p["next_p"] if st.pos_mode == "append" else 0.0,
+                eos=p["eos"],
+                gen_cm=None,
+            )
+            e._inflight = h
+            handles.append(h)
+        self._inflight = handles
+        return handles
+
+    def finish_round(
+        self, handles: Optional[List[ChunkHandle]] = None
+    ) -> List[Tuple[np.ndarray, int]]:
+        """Materialise the round: per-stream (generated ids incl. eos, n)."""
+        handles = handles or self._inflight
+        assert handles is self._inflight
+        self._inflight = None
+        return [e.finish_chunk(h) for e, h in zip(self.engines, handles)]
+
+    def process_round(self, *args, **kwargs) -> List[Tuple[np.ndarray, int]]:
+        return self.finish_round(self.process_round_async(*args, **kwargs))
+
+    def commit_assistant(
+        self, gens: Sequence[np.ndarray], end_bias: int, rnd: int
+    ) -> None:
+        for e, g in zip(self.engines, gens):
+            e.commit_assistant(g, end_bias, rnd)
+
+    # ------------------------------------------------------------------ warmup
+    def prewarm(
+        self,
+        grids: Tuple[Tuple[int, int, int], ...] = (),
+        *,
+        buckets: Optional[Tuple[int, ...]] = None,
+        max_new_list: Optional[Tuple[int, ...]] = None,
+        include_no_vision: bool = False,
+        eos_threshold: Optional[Tuple[int, float, float]] = None,
+    ) -> int:
+        """Compile the batched compaction + every (bucket × max_new × vision)
+        chunk_step_batched variant before round 0 (same glitch-freedom
+        contract as StreamingEngine.prewarm)."""
+        st = self.stream
+        C = st.kv_capacity
+        self.k_arena, self.v_arena, self.ids_arena = compact_arena_batched(
+            self.k_arena,
+            self.v_arena,
+            self.ids_arena,
+            jnp.asarray(np.tile(self._ident_src, (self.n, 1))),
+        )
+        vcfg = self.cfg.vision
+        D = self.cfg.text.hidden_size
+        mu = vcfg.spatial_merge_unit
+        grids = tuple(tuple(int(x) for x in g) for g in grids)
+        patch_dim = vcfg.in_channels * vcfg.temporal_patch_size * vcfg.patch_size**2
+        vis_variants: List[Optional[int]] = []
+        for g in grids:
+            jax.block_until_ready(
+                self.encode_round(
+                    jnp.zeros((self.n, int(np.prod(g)), patch_dim), self.dtype), g
+                )
+            )
+            vis_variants.append(int(np.prod(g)) // mu)
+        if include_no_vision or not grids:
+            vis_variants.append(None)
+
+        if st.pos_mode == "shrink":
+            desc, _, _, _ = self.engines[0].table.position_descriptors(
+                spatial_merge_size=vcfg.spatial_merge_size,
+                tokens_per_second=vcfg.tokens_per_second,
+                extra_text=1,
+            )
+            slot_pos = {
+                k: jnp.stack([jnp.asarray(v)] * self.n) for k, v in desc.items()
+            }
+        else:
+            slot_pos = jnp.zeros((self.n, 3, C), jnp.float32)
+
+        zero = jnp.zeros((self.n,), jnp.int32)
+        eos = jnp.full((self.n,), self.cfg.tokens.im_end, jnp.int32)
+        n_compiled = 0
+        for t_pad in buckets or st.prefill_buckets:
+            tokens = jnp.full((self.n, t_pad), self.cfg.tokens.pad, jnp.int32)
+            for max_new in max_new_list or (st.max_tokens_per_chunk,):
+                for n_vis in vis_variants:
+                    statics = ChunkStatics(
+                        cfg=self.cfg,
+                        t_pad=t_pad,
+                        max_new=max_new,
+                        temperature=self.sampling.temperature,
+                        repetition_penalty=self.sampling.repetition_penalty,
+                        do_sample=self.sampling.do_sample,
+                        eos_threshold=eos_threshold,
+                        use_descriptors=(st.pos_mode == "shrink"),
+                        prerotate=st.effective_prerotate,
+                    )
+                    ve = (
+                        None
+                        if n_vis is None
+                        else jnp.zeros((self.n, n_vis, D), self.dtype)
+                    )
+                    vs = (
+                        None
+                        if n_vis is None
+                        else jnp.stack([jnp.arange(n_vis, dtype=jnp.int32)] * self.n)
+                    )
+                    (
+                        self.k_arena,
+                        self.v_arena,
+                        self.ids_arena,
+                        _g,
+                        _n,
+                        _r,
+                    ) = chunk_step_batched(
+                        statics,
+                        self.params,
+                        self.k_arena,
+                        self.v_arena,
+                        slot_pos,
+                        tokens,
+                        ve,
+                        vs,
+                        self.ids_arena,
+                        zero,
+                        zero,
+                        eos,
+                        jax.random.split(jax.random.PRNGKey(0), self.n),
+                    )
+                    n_compiled += 1
+        jax.block_until_ready(self.k_arena)
+        return n_compiled
+
+
+def p_high_water(ms: MultiStreamEngine, b: int, prep: Dict, max_new: int) -> int:
+    """Stream b's decode-delta high-water mark (mirrors _prepare_chunk's)."""
+    return ms.engines[b].cached + prep["n_real"] + max_new

@@ -1,0 +1,181 @@
+"""Multi-stream batched serving equivalence: B streams driven through ONE
+stacked-arena `chunk_step_batched` must produce EXACTLY what B independent
+single-stream engines produce (greedy), across eviction rounds and
+different per-stream content/chunk lengths. The capability itself is new
+vs the reference (one stream per GPU — reference inference.py:72-74); the
+perf claim (weight-read amortisation across streams) is measured on TPU by
+`bench.py --streams N`, correctness lives here."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streaming_vlm_tpu.config import SamplingConfig, StreamConfig, qwen25_vl_tiny
+from streaming_vlm_tpu.models.qwen25_vl import model
+from streaming_vlm_tpu.streaming.engine import StreamingEngine
+from streaming_vlm_tpu.streaming.multistream import MultiStreamEngine
+from streaming_vlm_tpu.streaming.protocol import FakeTokenizer, PromptBuilder
+
+CFG = qwen25_vl_tiny()
+TOK = CFG.tokens
+GRID = (1, 4, 4)
+PATCH_DIM = (
+    CFG.vision.in_channels * CFG.vision.temporal_patch_size * CFG.vision.patch_size**2
+)
+N_VID_TOK = GRID[0] * (GRID[1] // 2) * (GRID[2] // 2)
+
+
+def _stream_cfg(**kw):
+    d = dict(
+        text_round=3, window_size=2, chunk_duration=1, text_sink=8,
+        text_sliding_window=8, max_tokens_per_chunk=6, kv_capacity=1024,
+        prefill_buckets=(64, 128),
+    )
+    d.update(kw)
+    return StreamConfig(**d)
+
+
+def _greedy():
+    return SamplingConfig(do_sample=False, repetition_penalty=1.05)
+
+
+def _chunk_segs(builder, i, query, start=0.0):
+    segs = []
+    if i == 0:
+        segs.append(builder.system_segment())
+        segs.extend(builder.previous_text_segments("prev " + query))
+        segs.extend(
+            builder.user_turn_segments(
+                0, start, start + 1.0, N_VID_TOK, GRID, 1.0, query=query
+            )
+        )
+    else:
+        segs.extend(
+            builder.user_turn_segments(
+                i, start + float(i), start + float(i + 1), N_VID_TOK, GRID, 1.0
+            )
+        )
+    segs.extend(builder.assistant_open_segments(i))
+    return segs
+
+
+@pytest.fixture(scope="module")
+def params():
+    return model.init_params(CFG, jax.random.PRNGKey(11), dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def vis_embeds_rounds():
+    """Per-round, per-stream vision embeddings [R, B, N_vis, D] (precomputed
+    so solo and batched consume bit-identical inputs)."""
+    rng = np.random.default_rng(3)
+    D = CFG.text.hidden_size
+    return rng.normal(size=(6, 3, N_VID_TOK, D)).astype(np.float32) * 0.1
+
+
+# distinct per-stream content: different queries AND different start times
+# (start 107.0 gives stream 2 longer Time=a-bs digit strings -> different
+# chunk lengths within a round, exercising the shared-bucket padding)
+STREAMS = [
+    ("describe the scene", 0.0),
+    ("commentate the match", 5.0),
+    ("what is happening", 107.0),
+]
+
+
+def _run_solo(params, vis_embeds_rounds, n_rounds):
+    all_gens = []
+    for b, (query, start) in enumerate(STREAMS):
+        eng = StreamingEngine(
+            CFG, params, _stream_cfg(), _greedy(), dtype=jnp.float32
+        )
+        builder = PromptBuilder(TOK, FakeTokenizer(TOK))
+        _, end_bias = builder.measure_biases()
+        gens = []
+        for i in range(n_rounds):
+            segs = _chunk_segs(builder, i, query, start)
+            gen, _ = eng.process_chunk(
+                segs, grid_thw=GRID, vis_embeds=jnp.asarray(vis_embeds_rounds[i, b])
+            )
+            eng.commit_assistant(gen, end_bias, i)
+            gens.append(np.asarray(gen))
+        all_gens.append(gens)
+    return all_gens
+
+
+def test_batched_rounds_match_solo_engines(params, vis_embeds_rounds):
+    n_rounds = 6  # past text_round=3 and window_size=2 -> evictions active
+    solo = _run_solo(params, vis_embeds_rounds, n_rounds)
+
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=3, dtype=jnp.float32
+    )
+    builders = [PromptBuilder(TOK, FakeTokenizer(TOK)) for _ in STREAMS]
+    _, end_bias = builders[0].measure_biases()
+    batched = [[] for _ in STREAMS]
+    for i in range(n_rounds):
+        segs = [
+            _chunk_segs(builders[b], i, q, s)
+            for b, (q, s) in enumerate(STREAMS)
+        ]
+        out = ms.process_round(
+            segs, vis_embeds=jnp.asarray(vis_embeds_rounds[i]), grid_thw=GRID
+        )
+        gens = [g for g, _ in out]
+        ms.commit_assistant(gens, end_bias, i)
+        for b, g in enumerate(gens):
+            batched[b].append(np.asarray(g))
+
+    for b in range(len(STREAMS)):
+        for i in range(n_rounds):
+            np.testing.assert_array_equal(
+                solo[b][i],
+                batched[b][i],
+                err_msg=f"stream {b} round {i}: batched != solo",
+            )
+    # per-stream invariants after the full run
+    for e in ms.engines:
+        assert e.cached + e.uncached_tail == e.table.total_len()
+
+
+def test_batched_vision_encode_matches_solo(params):
+    """encode_round (one multi-grid vision dispatch) == per-stream
+    encode_video calls."""
+    rng = np.random.default_rng(5)
+    B, S = 3, int(np.prod(GRID))
+    patches = rng.normal(size=(B, S, PATCH_DIM)).astype(np.float32) * 0.1
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=B, dtype=jnp.float32
+    )
+    got = np.asarray(ms.encode_round(jnp.asarray(patches), GRID))
+    for b in range(B):
+        want = np.asarray(
+            model.encode_video(CFG, params, jnp.asarray(patches[b]), (GRID,))
+        )
+        np.testing.assert_allclose(got[b], want, rtol=2e-5, atol=2e-5)
+
+
+def test_multistream_prewarm_covers_round(params):
+    """After prewarm, a full round triggers no new chunk_step_batched
+    compilation."""
+    from streaming_vlm_tpu.streaming.engine import chunk_step_batched
+
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    n = ms.prewarm(grids=(GRID,))
+    assert n == len(_stream_cfg().prefill_buckets)
+    size0 = chunk_step_batched._cache_size()
+    builders = [PromptBuilder(TOK, FakeTokenizer(TOK)) for _ in range(2)]
+    _, end_bias = builders[0].measure_biases()
+    rng = np.random.default_rng(0)
+    D = CFG.text.hidden_size
+    for i in range(2):
+        segs = [
+            _chunk_segs(builders[b], i, "q", 0.0) for b in range(2)
+        ]
+        ve = rng.normal(size=(2, N_VID_TOK, D)).astype(np.float32) * 0.1
+        out = ms.process_round(segs, vis_embeds=jnp.asarray(ve), grid_thw=GRID)
+        ms.commit_assistant([g for g, _ in out], end_bias, i)
+    assert chunk_step_batched._cache_size() == size0
