@@ -271,7 +271,11 @@ def _chunk_step_impl(
 
     embeds = language.embed_tokens(tcfg, params["text"], tokens)
     if vis_embeds is not None:
-        embeds = embeds.at[vis_slots].set(vis_embeds.astype(embeds.dtype))
+        # drop: idle lanes in a batched round pass out-of-bounds slots (t_pad)
+        # so a vision round leaves their token embeddings untouched
+        embeds = embeds.at[vis_slots].set(
+            vis_embeds.astype(embeds.dtype), mode="drop"
+        )
 
     q_pos = jax.lax.dynamic_slice(
         slot_positions, (0, insert_at), (3, statics.t_pad)
@@ -1162,6 +1166,21 @@ class StreamingEngine:
             self.uncached_tail = 1
         self.chunk_index += 1
         return gen_real, len(gen_real)
+
+    def finish_idle(self, handle: "ChunkHandle") -> None:
+        """Account an IDLE lane's round (multi-stream dynamic lanes): the
+        batched step still ran the lane — re-forwarding any uncached tail
+        (now cached) and free-running max_new decode tokens whose output is
+        DISCARDED (their KV sits beyond `cached`, invisible, overwritten by
+        the next real chunk). Nothing is appended to the table, so the
+        invariant cached + uncached_tail == table length holds; chunk_index
+        does not advance (the lane's stream clock is chunk-driven)."""
+        assert handle is self._inflight, "finish_idle out of order"
+        self._inflight = None
+        np.asarray(handle.gen)  # materialisation fences the device step
+        self.cached += handle.n_real
+        if self.stream.pos_mode == "append":
+            self._next_pos = handle.next_p
 
     def rollback_generation(self, n_emitted: int) -> None:
         """Drop the KV of the tokens generated this chunk (the last

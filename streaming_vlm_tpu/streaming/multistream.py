@@ -25,10 +25,15 @@ Design: one stacked KV arena [B, L, C, Hkv, hd] + per-stream host
      every stream's results exactly what a solo engine would produce
      (equivalence-tested in tests/test_multistream.py).
 
-Streams advance in lockstep rounds (every stream ingests one chunk per
-round). Streams may produce different chunk lengths (their `Time=a-bs` digits
-differ etc.) — the shared bucket covers the max. Per-stream early-eos works
-as in the single engine (done streams emit eos padding in the scan).
+Streams advance in lockstep rounds. Streams may produce different chunk
+lengths (their `Time=a-bs` digits differ etc.) — the shared bucket covers the
+max. Per-stream early-eos works as in the single engine (done streams emit
+eos padding in the scan). DYNAMIC LANES make the lockstep serve real,
+asynchronous clients: a lane with no chunk this round passes `None`
+(idle — state frozen, compute masked out; see process_round_async), and
+`reset_lane` hands a finished lane to a new client mid-flight without
+recompiling or disturbing the other streams — continuous batching expressed
+on static shapes, which is the TPU-idiomatic form of it.
 """
 
 from __future__ import annotations
@@ -87,7 +92,7 @@ class MultiStreamEngine:
         self._ident_src = np.arange(C, dtype=np.int32)
         self.rngs = jax.random.split(jax.random.PRNGKey(sampling.seed), n_streams)
         self._inflight: Optional[List[ChunkHandle]] = None
-        self._inflight_meta = None
+        self._inflight_idle: Optional[List[bool]] = None
 
     # ------------------------------------------------------------------ sizing
     def _check_hbm_budget(self) -> None:
@@ -148,7 +153,7 @@ class MultiStreamEngine:
     # ------------------------------------------------------------------ round
     def process_round_async(
         self,
-        chunk_segs: Sequence[List],  # B lists of Seg
+        chunk_segs: Sequence[Optional[List]],  # B lists of Seg; None = idle
         *,
         vis_embeds=None,  # [B, N_vis, D] or None (text-only round)
         grid_thw: Optional[Tuple[int, int, int]] = None,
@@ -157,10 +162,26 @@ class MultiStreamEngine:
         eos_threshold: Optional[Tuple[int, float, float]] = None,
     ) -> List[ChunkHandle]:
         """Evict + ingest one chunk per stream, dispatch ONE batched step.
-        Returns per-stream handles; call finish_round() to materialise."""
+        Returns per-stream handles; call finish_round() to materialise.
+
+        DYNAMIC LANES (continuous-batching on static shapes): a `None` entry
+        means the lane is IDLE this round — no client chunk arrived. The lane
+        still flows through the batched executable (shapes are static; its
+        compute is wasted by design) via `_prepare_chunk([])`: any uncached
+        tail re-forwards and becomes cached, the free-run decode output is
+        discarded, its table/rng/chunk clock do not advance, and a vision
+        round's embeds are dropped via out-of-bounds scatter slots. Lanes
+        still run eviction, which keeps `cached` at the same post-evict bound
+        the active-lane capacity guard certifies — so the lane's pad block
+        never clamps onto valid KV. `reset_lane(b)` then hands the lane to a
+        new client mid-flight (the stale arena content is invisible at
+        cached=0). The reference cannot do any of this: one stream per GPU,
+        process restart to switch streams (reference inference.py:72-74)."""
         assert self._inflight is None, "previous round not finished"
         assert len(chunk_segs) == self.n
         st = self.stream
+        max_new = max_new or st.max_tokens_per_chunk
+        idle = [cs is None for cs in chunk_segs]
 
         # 1. eviction: host table edits, then one batched gather
         plans = [e.evict_plan() for e in self.engines]
@@ -174,19 +195,21 @@ class MultiStreamEngine:
                 self.k_arena, self.v_arena, self.ids_arena, jnp.asarray(src)
             )
 
-        # 2. per-stream host prep via the single-stream code path
+        # 2. per-stream host prep via the single-stream code path; idle lanes
+        # prep an empty chunk (tail re-forward only, no table append)
         preps = [
             e._prepare_chunk(
-                list(chunk_segs[b]),
-                vis_embeds=None if vis_embeds is None else vis_embeds[b],
-                grid_thw=grid_thw,
+                [] if idle[b] else list(chunk_segs[b]),
+                vis_embeds=(
+                    None if vis_embeds is None or idle[b] else vis_embeds[b]
+                ),
+                grid_thw=None if idle[b] else grid_thw,
                 max_new=max_new,
                 eos_id=eos_id,
                 evict=False,
             )
             for b, e in enumerate(self.engines)
         ]
-        max_new = preps[0]["max_new"]
 
         # common bucket: every stream pads to the round's largest
         t_pad = max(p["t_pad"] for p in preps)
@@ -235,12 +258,26 @@ class MultiStreamEngine:
         vs = None
         ve = None
         if vis_embeds is not None:
-            n_vis = {None if p["vis_slots"] is None else p["vis_slots"].shape[0] for p in preps}
-            assert len(n_vis) == 1 and None not in n_vis, (
-                "all streams must carry the same video-token count per round "
-                f"(got {n_vis}); mixed rounds are not supported in batched mode"
+            n_vis = int(np.asarray(vis_embeds).shape[1])
+            active_nv = {
+                p["vis_slots"].shape[0]
+                for b, p in enumerate(preps)
+                if not idle[b] and p["vis_slots"] is not None
+            }
+            assert active_nv <= {n_vis}, (
+                "every stream chunk carrying video must carry the round's "
+                f"video-token count {n_vis} (got {active_nv}); mixed counts "
+                "are not supported in batched mode"
             )
-            vs = jnp.stack([p["vis_slots"] for p in preps])
+            # idle / text-only lanes: out-of-bounds slots -> the embed
+            # scatter drops their rows of vis_embeds
+            oob = jnp.full((n_vis,), t_pad, jnp.int32)
+            vs = jnp.stack(
+                [
+                    oob if p["vis_slots"] is None else p["vis_slots"]
+                    for p in preps
+                ]
+            )
             ve = jnp.asarray(vis_embeds, self.dtype)
 
         statics = ChunkStatics(
@@ -257,6 +294,7 @@ class MultiStreamEngine:
         insert_at = jnp.asarray([e.cached for e in self.engines], jnp.int32)
         n_real = jnp.asarray([p["n_real"] for p in preps], jnp.int32)
         eos = jnp.asarray([p["eos"] for p in preps], jnp.int32)
+        rngs_before = self.rngs
         (
             self.k_arena,
             self.v_arena,
@@ -279,6 +317,11 @@ class MultiStreamEngine:
             eos,
             self.rngs,
         )
+        if any(idle):
+            # an idle lane's stream must resume exactly where a solo engine
+            # that skipped the round would: its sampling rng does not advance
+            keep = jnp.asarray(idle)[:, None]
+            self.rngs = jnp.where(keep, rngs_before, self.rngs)
         handles = []
         for b, (p, e) in enumerate(zip(preps, self.engines)):
             h = ChunkHandle(
@@ -292,25 +335,59 @@ class MultiStreamEngine:
             e._inflight = h
             handles.append(h)
         self._inflight = handles
+        self._inflight_idle = idle
         return handles
 
     def finish_round(
         self, handles: Optional[List[ChunkHandle]] = None
-    ) -> List[Tuple[np.ndarray, int]]:
-        """Materialise the round: per-stream (generated ids incl. eos, n)."""
+    ) -> List[Optional[Tuple[np.ndarray, int]]]:
+        """Materialise the round: per-stream (generated ids incl. eos, n);
+        None for lanes that were idle this round."""
         handles = handles or self._inflight
         assert handles is self._inflight
+        idle = self._inflight_idle
         self._inflight = None
-        return [e.finish_chunk(h) for e, h in zip(self.engines, handles)]
+        self._inflight_idle = None
+        out = []
+        for b, (e, h) in enumerate(zip(self.engines, handles)):
+            if idle[b]:
+                e.finish_idle(h)
+                out.append(None)
+            else:
+                out.append(e.finish_chunk(h))
+        return out
 
     def process_round(self, *args, **kwargs) -> List[Tuple[np.ndarray, int]]:
         return self.finish_round(self.process_round_async(*args, **kwargs))
 
     def commit_assistant(
-        self, gens: Sequence[np.ndarray], end_bias: int, rnd: int
+        self, gens: Sequence[Optional[np.ndarray]], end_bias: int, rnd: int
     ) -> None:
+        """Commit each lane's generation; None entries (idle lanes) skip."""
         for e, g in zip(self.engines, gens):
-            e.commit_assistant(g, end_bias, rnd)
+            if g is not None:
+                e.commit_assistant(g, end_bias, rnd)
+
+    def reset_lane(self, b: int, seed: Optional[int] = None) -> None:
+        """Hand lane b to a NEW client stream mid-flight: fresh host state
+        (segment table, positions, accounting) and a fresh sampling key. The
+        lane's stale arena content needs no clearing — at cached=0 nothing
+        is visible and the first chunk overwrites from slot 0. Other lanes
+        are untouched (their executables never recompile: shapes are
+        static)."""
+        assert self._inflight is None, "reset_lane mid-round"
+        self.engines[b] = StreamingEngine(
+            self.cfg,
+            self.params,
+            self.stream,
+            self.sampling,
+            dtype=self.dtype,
+            allocate_arena=False,
+        )
+        key = jax.random.PRNGKey(
+            self.sampling.seed + 1 + b if seed is None else seed
+        )
+        self.rngs = self.rngs.at[b].set(jax.random.split(key, 1)[0])
 
     # ------------------------------------------------------------------ warmup
     def prewarm(

@@ -156,6 +156,107 @@ def test_batched_vision_encode_matches_solo(params):
         np.testing.assert_allclose(got[b], want, rtol=2e-5, atol=2e-5)
 
 
+def test_idle_lane_equivalence(params, vis_embeds_rounds):
+    """Dynamic lanes: lane 1 idles on rounds 2 and 4 (chunk_segs None). Its
+    active-round outputs must equal a solo engine fed only those chunks, and
+    lane 0 (active throughout) must be completely unaffected."""
+    n_rounds = 6
+    active_rounds_1 = [0, 1, 3, 5]
+
+    # solo oracles: lane 0 continuous; lane 1 only its active chunks
+    solo = _run_solo(params, vis_embeds_rounds, n_rounds)  # continuous runs
+    q1, s1 = STREAMS[1]
+    eng1 = StreamingEngine(CFG, params, _stream_cfg(), _greedy(), dtype=jnp.float32)
+    b1 = PromptBuilder(TOK, FakeTokenizer(TOK))
+    _, end_bias = b1.measure_biases()
+    solo1 = {}
+    for i in active_rounds_1:
+        segs = _chunk_segs(b1, i, q1, s1)
+        gen, _ = eng1.process_chunk(
+            segs, grid_thw=GRID, vis_embeds=jnp.asarray(vis_embeds_rounds[i, 1])
+        )
+        eng1.commit_assistant(gen, end_bias, i)
+        solo1[i] = np.asarray(gen)
+
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    builders = [PromptBuilder(TOK, FakeTokenizer(TOK)) for _ in range(2)]
+    for i in range(n_rounds):
+        segs = [_chunk_segs(builders[0], i, *STREAMS[0])]
+        if i in active_rounds_1:
+            segs.append(_chunk_segs(builders[1], i, q1, s1))
+        else:
+            segs.append(None)
+        out = ms.process_round(
+            segs, vis_embeds=jnp.asarray(vis_embeds_rounds[i, :2]), grid_thw=GRID
+        )
+        assert (out[1] is None) == (i not in active_rounds_1)
+        np.testing.assert_array_equal(
+            solo[0][i], out[0][0], err_msg=f"active lane 0 diverged round {i}"
+        )
+        if out[1] is not None:
+            np.testing.assert_array_equal(
+                solo1[i], out[1][0], err_msg=f"idle-lane 1 diverged round {i}"
+            )
+        ms.commit_assistant(
+            [out[0][0], None if out[1] is None else out[1][0]], end_bias, i
+        )
+    for e in ms.engines:
+        assert e.cached + e.uncached_tail == e.table.total_len()
+
+
+def test_reset_lane_new_client(params, vis_embeds_rounds):
+    """reset_lane hands lane 0 to a NEW stream mid-flight; the new stream's
+    outputs equal a fresh solo engine and lane 1 is undisturbed."""
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    builders = [PromptBuilder(TOK, FakeTokenizer(TOK)) for _ in range(2)]
+    _, end_bias = builders[0].measure_biases()
+    solo = _run_solo(params, vis_embeds_rounds, 6)
+
+    for i in range(3):
+        segs = [
+            _chunk_segs(builders[b], i, *STREAMS[b]) for b in range(2)
+        ]
+        out = ms.process_round(
+            segs, vis_embeds=jnp.asarray(vis_embeds_rounds[i, :2]), grid_thw=GRID
+        )
+        ms.commit_assistant([g for g, _ in out], end_bias, i)
+
+    ms.reset_lane(0)
+    nb = PromptBuilder(TOK, FakeTokenizer(TOK))
+    newq, news = "summarize the events", 31.0
+    eng_new = StreamingEngine(CFG, params, _stream_cfg(), _greedy(), dtype=jnp.float32)
+    nb_solo = PromptBuilder(TOK, FakeTokenizer(TOK))
+    for j, i in enumerate(range(3, 6)):
+        ve = jnp.asarray(vis_embeds_rounds[i, :2])
+        segs = [
+            _chunk_segs(nb, j, newq, news),
+            _chunk_segs(builders[1], i, *STREAMS[1]),
+        ]
+        out = ms.process_round(segs, vis_embeds=ve, grid_thw=GRID)
+        want_new, _ = eng_new.process_chunk(
+            _chunk_segs(nb_solo, j, newq, news),
+            grid_thw=GRID,
+            vis_embeds=ve[0],
+        )
+        eng_new.commit_assistant(np.asarray(want_new), end_bias, j)
+        np.testing.assert_array_equal(
+            np.asarray(want_new), out[0][0],
+            err_msg=f"new-client lane diverged at its chunk {j}",
+        )
+        np.testing.assert_array_equal(
+            solo[1][i], out[1][0],
+            err_msg=f"surviving lane disturbed after reset (round {i})",
+        )
+        # per-lane chunk clocks: the new client commits ITS chunk index j,
+        # the surviving lane the round index i (as a real server would)
+        ms.engines[0].commit_assistant(out[0][0], end_bias, j)
+        ms.engines[1].commit_assistant(out[1][0], end_bias, i)
+
+
 def test_multistream_prewarm_covers_round(params):
     """After prewarm, a full round triggers no new chunk_step_batched
     compilation."""
