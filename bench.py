@@ -45,6 +45,18 @@ def run_stream(args):
     import jax
     import jax.numpy as jnp
 
+    t_stage = time.perf_counter()
+
+    def stage(tag):
+        # wall-clock per init stage on stderr: the tunnel's intermittent
+        # device fault correlates with process device-activity time, so
+        # knowing where a faulted attempt spent its minutes matters
+        print(
+            f"[stage +{time.perf_counter() - t_stage:6.1f}s] {tag}",
+            file=sys.stderr,
+            flush=True,
+        )
+
     from streaming_vlm_tpu.config import (
         SamplingConfig,
         StreamConfig,
@@ -82,7 +94,15 @@ def run_stream(args):
         # steady-state KV peaks at ~9.8k slots incl. the in-flight chunk;
         # smallest 512-aligned capacity above that minimises arena traffic
         kv_capacity=10240,
-        prefill_buckets=(640, 1024),
+        # SVT_BENCH_BUCKETS dodges the tunnel's wandering per-executable
+        # device fault (2026-08-17 it pinned itself to the 1024-bucket
+        # chunk_step for hours): a different bucket size is a different
+        # executable. 960 keeps full headroom for chunk 0 + qa injection
+        # (steady chunks are 533 tok; qa adds ~130).
+        prefill_buckets=tuple(
+            int(b)
+            for b in os.environ.get("SVT_BENCH_BUCKETS", "640,1024").split(",")
+        ),
     )
     sampling = SamplingConfig(temperature=0.9, repetition_penalty=1.05, do_sample=True)
 
@@ -117,10 +137,12 @@ def run_stream(args):
 
         params, _ = shard_params(params, mesh)
     params = jax.tree.map(jax.block_until_ready, params)
+    stage("params ready")
 
     engine = StreamingEngine(
         cfg, params, stream, sampling, dtype=jnp.bfloat16, mesh=mesh
     )
+    stage("engine ready")
     builder = PromptBuilder(tok, FakeTokenizer(tok))
     _, end_bias = 3, 2  # reference-measured biases for the real tokenizer
     rng = np.random.default_rng(0)
@@ -190,6 +212,7 @@ def run_stream(args):
     # region, so the glitch-freedom contract is unchanged.
     vis_embeds = encode_chunk(0)
     jax.block_until_ready(vis_embeds)
+    stage("vision encode ready")
     t_warm = time.perf_counter()
     n_exec = engine.prewarm(grids=(grid,), vision="none")
     print(
@@ -290,7 +313,14 @@ def run_multistream(args):
         fps=fps, chunk_duration=chunk_duration, window_size=window_size,
         text_round=16, text_sink=512, text_sliding_window=512,
         max_tokens_per_chunk=20, kv_capacity=10240,
-        prefill_buckets=(640, 1024) if args.model != "tiny" else (192, 256),
+        prefill_buckets=(
+            tuple(
+                int(b)
+                for b in os.environ.get("SVT_BENCH_BUCKETS", "640,1024").split(",")
+            )
+            if args.model != "tiny"
+            else (192, 256)
+        ),
     )
     sampling = SamplingConfig(temperature=0.9, repetition_penalty=1.05, do_sample=True)
 
@@ -487,10 +517,20 @@ def run_with_retries(args, argv):
             time.sleep(d)
         env = dict(os.environ, SVT_BENCH_WORKER="1")
         worker_argv = list(argv)
+        if i >= 1 and "SVT_BENCH_BUCKETS" not in os.environ:
+            # the device fault can pin itself to ONE executable for hours
+            # (2026-08-17: the frames encode in the morning, the 1024-bucket
+            # chunk_step in the afternoon — where swapping 1024 -> 960
+            # completed a run that had faulted 3x in a row). A different
+            # bucket size is a different executable; rotate it on retries.
+            env["SVT_BENCH_BUCKETS"] = ("640,960", "704,960", "640,1024")[i % 3]
+            print(
+                f"[retry] buckets -> {env['SVT_BENCH_BUCKETS']}",
+                file=sys.stderr, flush=True,
+            )
         if i >= 2 and "--vision" not in argv:
-            # the device fault can pin itself to one executable for hours
-            # (the frames encode, 2026-08-17); later attempts switch to the
-            # host-patchify formulation to dodge it
+            # same dodge for the vision executable: the host-patchify
+            # formulation is a different executable than the frames one
             worker_argv += ["--vision", "patches"]
             print("[retry] switching to --vision patches", file=sys.stderr, flush=True)
         # stderr inherits (live per-chunk progress); stdout captured for JSON
@@ -510,6 +550,15 @@ def run_with_retries(args, argv):
 
 
 def main():
+    # Persistent CLIENT-side compilation cache (survives process death): the
+    # axon tunnel's intermittent device fault kills processes a few minutes
+    # in, but compiles completed before a fault replay from this cache on
+    # the next attempt (~27 s param init vs ~205 s cold, measured
+    # 2026-08-17) — each retry makes monotonic progress even when the
+    # remote compile service is the flaky part. Must be set before the
+    # first jax import (all jax imports in this file are function-local).
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
     import argparse
 
     ap = argparse.ArgumentParser()
