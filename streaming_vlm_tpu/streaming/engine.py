@@ -830,6 +830,10 @@ class StreamingEngine:
         timer=None,
         extra_slots: int = 0,  # decode-delta slack beyond max_new (spec decode)
         evict: bool = True,  # False: caller already ran evict_plan + gather
+        device_arrays: bool = True,  # False: keep tokens/slot_pos/vis_slots
+        # as host numpy (batched callers stack B preps host-side and ship
+        # them in ONE dispatch — per-stream jnp.asarray would pay one
+        # host<->device round-trip each, which dominates on high-RTT links)
     ) -> Dict[str, Any]:
         """Shared host-side chunk preparation: eviction, table append, token
         assembly, position descriptors/arrays, vision encode dispatch,
@@ -898,7 +902,11 @@ class StreamingEngine:
                 extra_text=n_delta,
             )
             assert tot_full == total + n_delta
-            slot_pos = {k: jnp.asarray(v) for k, v in desc.items()}
+            slot_pos = (
+                {k: jnp.asarray(v) for k, v in desc.items()}
+                if device_arrays
+                else desc
+            )
         else:  # append: chunk tokens extend from last_cache_position + 1
             from ..models.qwen25_vl.rope import (
                 PosSegment,
@@ -958,12 +966,20 @@ class StreamingEngine:
             )
         if vis_embeds is not None:
             (slots,) = np.nonzero(chunk_ids == tkn.video_pad)
-            vis_slots = jnp.asarray(slots, jnp.int32)
+            vis_slots = (
+                jnp.asarray(slots, jnp.int32)
+                if device_arrays
+                else slots.astype(np.int32)
+            )
 
         eos = tkn.im_end if eos_id is None else eos_id
         return {
-            "tokens": jnp.asarray(tokens),
-            "slot_pos": slot_pos if isinstance(slot_pos, dict) else jnp.asarray(slot_pos),
+            "tokens": jnp.asarray(tokens) if device_arrays else tokens,
+            "slot_pos": (
+                slot_pos
+                if isinstance(slot_pos, dict) or not device_arrays
+                else jnp.asarray(slot_pos)
+            ),
             "n_real": n_real,
             "t_pad": t_pad,
             "max_new": max_new,

@@ -93,6 +93,7 @@ class MultiStreamEngine:
         self.rngs = jax.random.split(jax.random.PRNGKey(sampling.seed), n_streams)
         self._inflight: Optional[List[ChunkHandle]] = None
         self._inflight_idle: Optional[List[bool]] = None
+        self._gen_all = self._ngen_all = None
 
     # ------------------------------------------------------------------ sizing
     def _check_hbm_budget(self) -> None:
@@ -137,18 +138,29 @@ class MultiStreamEngine:
 
     # ------------------------------------------------------------------ vision
     def encode_round(self, pixel_patches, grid_thw) -> jnp.ndarray:
-        """Encode every stream's chunk in ONE vision dispatch.
+        """Encode every stream's chunk: B single-grid tower dispatches that
+        pipeline back-to-back on the device queue, plus one stack.
         `pixel_patches` is [B, S, patch_dim] (same grid per stream this
-        round); returns [B, S // merge_unit, D]. Uses the multi-grid
-        `encode_video` executable (windowed attention stays per-stream:
-        window cu_seqlens never cross grid boundaries)."""
+        round); returns [B, S // merge_unit, D].
+
+        MEASURED (2026-08-17, v5e-1, 3B int8, B=4 x 512 patches): the
+        obvious one-dispatch formulation — multi-grid `encode_video` over
+        the concatenated [B*S] sequence — runs at 1906 ms vs 124 ms for B
+        sequential single-grid calls (15x): the multi-grid executable's
+        full-attention layers mask a [B*S, B*S] score matrix to block-
+        diagonal, paying B^2 the work. A vmapped single-grid tower measures
+        the same 130 ms but is a NEW heavy executable (compile exposure on
+        a flaky tunnel) — sequential wins on simplicity and reuses the
+        single-stream tower executable unchanged."""
         B, S, pd = pixel_patches.shape
         assert B == self.n
-        grids = tuple(tuple(int(x) for x in grid_thw) for _ in range(B))
-        flat = jnp.asarray(pixel_patches, self.dtype).reshape(B * S, pd)
-        emb = model.encode_video(self.cfg, self.params, flat, grids)
-        mu = self.cfg.vision.spatial_merge_unit
-        return emb.reshape(B, S // mu, emb.shape[-1])
+        g = tuple(int(x) for x in grid_thw)
+        pat = jnp.asarray(pixel_patches, self.dtype)
+        embs = [
+            model.encode_video(self.cfg, self.params, pat[b], (g,))
+            for b in range(B)
+        ]
+        return jnp.stack(embs)
 
     # ------------------------------------------------------------------ round
     def process_round_async(
@@ -196,7 +208,12 @@ class MultiStreamEngine:
             )
 
         # 2. per-stream host prep via the single-stream code path; idle lanes
-        # prep an empty chunk (tail re-forward only, no table append)
+        # prep an empty chunk (tail re-forward only, no table append).
+        # device_arrays=False: ALL stacking below happens in host numpy and
+        # ships inside the ONE batched-step dispatch — per-stream jnp ops
+        # would each pay a host<->device round-trip, which at B=4 over the
+        # tunnel cost ~2.4 s/round vs the step's own 0.26 s (measured
+        # 2026-08-17, tools/profile_batched.py).
         preps = [
             e._prepare_chunk(
                 [] if idle[b] else list(chunk_segs[b]),
@@ -207,6 +224,7 @@ class MultiStreamEngine:
                 max_new=max_new,
                 eos_id=eos_id,
                 evict=False,
+                device_arrays=False,
             )
             for b, e in enumerate(self.engines)
         ]
@@ -214,13 +232,10 @@ class MultiStreamEngine:
         # common bucket: every stream pads to the round's largest
         t_pad = max(p["t_pad"] for p in preps)
         pad_tok = self.cfg.tokens.pad
-        toks = []
+        tokens = np.full((self.n, t_pad), pad_tok, np.int32)
         for b, p in enumerate(preps):
-            tk = p["tokens"]
-            if tk.shape[0] < t_pad:
-                tk = jnp.concatenate(
-                    [tk, jnp.full((t_pad - tk.shape[0],), pad_tok, jnp.int32)]
-                )
+            tk = np.asarray(p["tokens"])
+            tokens[b, : tk.shape[0]] = tk
             hw = max(self.engines[b].cached + t_pad, p_high_water(self, b, p, max_new))
             if hw > st.kv_capacity:
                 raise ValueError(
@@ -228,8 +243,6 @@ class MultiStreamEngine:
                     f"{st.kv_capacity} at cached={self.engines[b].cached}; "
                     f"raise kv_capacity or align stream protocols"
                 )
-            toks.append(tk)
-        tokens = jnp.stack(toks)
 
         # positions: stack per-stream descriptor tables (shrink) or [3, C]
         if st.pos_mode == "shrink":
@@ -238,22 +251,16 @@ class MultiStreamEngine:
             fill = {"starts": 2**30, "ghs": 1, "gws": 1, "tsteps": 1.0}
             slot_pos = {}
             for k in keys:
-                rows = []
-                for p in preps:
-                    v = p["slot_pos"][k]
-                    if v.shape[0] < max_segs:
-                        v = jnp.concatenate(
-                            [
-                                v,
-                                jnp.full(
-                                    (max_segs - v.shape[0],), fill.get(k, 0), v.dtype
-                                ),
-                            ]
-                        )
-                    rows.append(v)
-                slot_pos[k] = jnp.stack(rows)
+                first = np.asarray(preps[0]["slot_pos"][k])
+                stacked = np.full(
+                    (self.n, max_segs), fill.get(k, 0), first.dtype
+                )
+                for b, p in enumerate(preps):
+                    v = np.asarray(p["slot_pos"][k])
+                    stacked[b, : v.shape[0]] = v
+                slot_pos[k] = stacked
         else:
-            slot_pos = jnp.stack([p["slot_pos"] for p in preps])
+            slot_pos = np.stack([np.asarray(p["slot_pos"]) for p in preps])
 
         vs = None
         ve = None
@@ -271,14 +278,16 @@ class MultiStreamEngine:
             )
             # idle / text-only lanes: out-of-bounds slots -> the embed
             # scatter drops their rows of vis_embeds
-            oob = jnp.full((n_vis,), t_pad, jnp.int32)
-            vs = jnp.stack(
-                [
-                    oob if p["vis_slots"] is None else p["vis_slots"]
-                    for p in preps
-                ]
+            vs = np.full((self.n, n_vis), t_pad, np.int32)
+            for b, p in enumerate(preps):
+                if p["vis_slots"] is not None:
+                    vs[b] = np.asarray(p["vis_slots"])
+            ve = (
+                vis_embeds
+                if isinstance(vis_embeds, jnp.ndarray)
+                and vis_embeds.dtype == self.dtype
+                else jnp.asarray(vis_embeds, self.dtype)
             )
-            ve = jnp.asarray(vis_embeds, self.dtype)
 
         statics = ChunkStatics(
             cfg=self.cfg,
@@ -291,9 +300,9 @@ class MultiStreamEngine:
             use_descriptors=(st.pos_mode == "shrink"),
             prerotate=st.effective_prerotate,
         )
-        insert_at = jnp.asarray([e.cached for e in self.engines], jnp.int32)
-        n_real = jnp.asarray([p["n_real"] for p in preps], jnp.int32)
-        eos = jnp.asarray([p["eos"] for p in preps], jnp.int32)
+        insert_at = np.asarray([e.cached for e in self.engines], np.int32)
+        n_real = np.asarray([p["n_real"] for p in preps], np.int32)
+        eos = np.asarray([p["eos"] for p in preps], np.int32)
         rngs_before = self.rngs
         (
             self.k_arena,
@@ -336,6 +345,9 @@ class MultiStreamEngine:
             handles.append(h)
         self._inflight = handles
         self._inflight_idle = idle
+        # finish_round fetches these with TWO host transfers total; the
+        # per-handle gen[b]/n_gen[b] views would cost 2B round-trips
+        self._gen_all, self._ngen_all = gen, n_gen
         return handles
 
     def finish_round(
@@ -348,8 +360,12 @@ class MultiStreamEngine:
         idle = self._inflight_idle
         self._inflight = None
         self._inflight_idle = None
+        gen_all = np.asarray(self._gen_all)  # ONE transfer for all lanes
+        ngen_all = np.asarray(self._ngen_all)
+        self._gen_all = self._ngen_all = None
         out = []
         for b, (e, h) in enumerate(zip(self.engines, handles)):
+            h.gen, h.n_gen = gen_all[b], int(ngen_all[b])
             if idle[b]:
                 e.finish_idle(h)
                 out.append(None)
