@@ -321,6 +321,12 @@ def run_multistream(args):
             if args.model != "tiny"
             else (192, 256)
         ),
+        # SVT_PREROTATE=0 drops the per-chunk rotated-K arena copies
+        # (rotate-in-attention instead): ~290 MB/stream at 7B — the HBM that
+        # decides whether a 5th/6th 7B stream fits on a 16 GB chip
+        prerotate_arena=(
+            False if os.environ.get("SVT_PREROTATE") == "0" else None
+        ),
     )
     sampling = SamplingConfig(temperature=0.9, repetition_penalty=1.05, do_sample=True)
 

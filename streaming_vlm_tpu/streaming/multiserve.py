@@ -1,0 +1,202 @@
+"""Multi-client serving front-end over MultiStreamEngine's dynamic lanes.
+
+Turns the lockstep batched engine into an asynchronous serving API: clients
+attach whenever they like, submit chunks at their own pace, and read
+generated ids back; the server drives batched rounds in which lanes with a
+pending chunk are active and the rest ride along idle (state frozen —
+multistream.py). This is the deployment shape the reference cannot express
+at all: its serving unit is one process owning one GPU for one stream
+(reference inference.py:72-74 `device_map="cuda"`, one model per
+`streaming_inference` call); N viewers cost N GPUs. Here N viewers share
+one chip's weight reads (BENCH_MULTISTREAM_r03.json: 6 concurrent
+real-time 3B streams on one v5e chip at 1.65x the reference's single-GPU
+headline).
+
+Design notes (TPU-idiomatic serving):
+  * shapes are static — a lane is active or idle, the executable is the
+    same; attach/detach never recompiles;
+  * the round loop is HOST logic only: queue scans, one batched dispatch,
+    one batched fetch. No per-client device traffic (the r3 lesson:
+    per-lane device ops cost one tunnel/PCIe round-trip each);
+  * vision runs per active lane through the single-grid tower executable
+    (measured 15x faster than a concatenated multi-grid encode at B=4);
+  * clients own their chunk clocks: commit indices are per-client, so a
+    freshly attached client starts at chunk 0 mid-flight of others.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .multistream import MultiStreamEngine
+
+__all__ = ["MultiStreamServer", "StreamClient"]
+
+
+class StreamClient:
+    """Handle for one attached stream: submit chunks, read results."""
+
+    def __init__(self, server: "MultiStreamServer", lane: int):
+        self._server = server
+        self.lane = lane
+        self.chunk_index = 0  # this client's own chunk clock
+        self._pending: "queue.Queue[Dict[str, Any]]" = queue.Queue()
+        self._results: "queue.Queue[Tuple[int, np.ndarray]]" = queue.Queue()
+        self.closed = False
+
+    def submit(
+        self,
+        chunk_segs: List,
+        *,
+        pixel_patches: Optional[np.ndarray] = None,  # [S, patch_dim]
+        grid_thw: Optional[Tuple[int, int, int]] = None,
+    ) -> None:
+        """Enqueue one chunk (segments + optional vision patches). The
+        server picks it up on its next round."""
+        assert not self.closed, "client closed"
+        if pixel_patches is not None:
+            assert grid_thw is not None
+        self._pending.put(
+            {"segs": chunk_segs, "patches": pixel_patches, "grid": grid_thw}
+        )
+        self._server._wake.set()
+
+    def get(self, timeout: Optional[float] = None) -> Tuple[int, np.ndarray]:
+        """Next (chunk_index, generated ids incl. eos). Raises queue.Empty
+        on timeout."""
+        return self._results.get(timeout=timeout)
+
+    def close(self) -> None:
+        """Detach: the lane becomes free for the next client. Pending
+        chunks not yet processed are dropped."""
+        self._server._detach(self)
+
+
+class MultiStreamServer:
+    """Round scheduler multiplexing up to `engine.n` clients on one chip.
+
+    Rounds are driven either manually (`run_round_once`, deterministic —
+    what the equivalence tests use) or by a background thread
+    (`start`/`stop`). All clients must share the engine's grid shape for
+    vision chunks within one round (mixed grids across ROUNDS are fine:
+    each round's active lanes pick one)."""
+
+    def __init__(self, engine: MultiStreamEngine, *, end_bias: int = 2):
+        self.engine = engine
+        self.end_bias = end_bias
+        self._clients: List[Optional[StreamClient]] = [None] * engine.n
+        self._lock = threading.Lock()
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self._wake = threading.Event()
+
+    # ------------------------------------------------------------- lifecycle
+    def attach(self, seed: Optional[int] = None) -> StreamClient:
+        """Claim a free lane for a new client (resets the lane's host state;
+        no recompile, no disturbance to live lanes). Raises RuntimeError
+        when every lane is taken — callers queue or scale out."""
+        with self._lock:
+            for b, c in enumerate(self._clients):
+                if c is None:
+                    self.engine.reset_lane(b, seed=seed)
+                    client = StreamClient(self, b)
+                    self._clients[b] = client
+                    return client
+        raise RuntimeError(
+            f"all {self.engine.n} lanes taken; detach a client or serve "
+            f"with a larger n_streams"
+        )
+
+    def _detach(self, client: StreamClient) -> None:
+        with self._lock:
+            client.closed = True
+            self._clients[client.lane] = None
+
+    # ----------------------------------------------------------------- round
+    def run_round_once(self) -> int:
+        """Collect at most one pending chunk per client and run ONE batched
+        round. Returns the number of active lanes (0 = nothing to do).
+        Holds the server lock for the whole round: attach/detach from other
+        threads serialise against in-flight rounds (a reset mid-round would
+        corrupt lane accounting)."""
+        with self._lock:
+            return self._round_locked()
+
+    def _round_locked(self) -> int:
+        clients = list(self._clients)
+        work: List[Optional[Dict[str, Any]]] = [None] * self.engine.n
+        for b, c in enumerate(clients):
+            if c is not None and not c._pending.empty():
+                work[b] = c._pending.get_nowait()
+        n_active = sum(w is not None for w in work)
+        if n_active == 0:
+            return 0
+
+        grids = {tuple(w["grid"]) for w in work if w and w["grid"] is not None}
+        assert len(grids) <= 1, (
+            f"one grid per round (got {grids}); submit mixed grids in "
+            f"different rounds"
+        )
+        ve = None
+        grid = next(iter(grids)) if grids else None
+        if grid is not None:
+            import jax.numpy as jnp
+
+            from ..models.qwen25_vl import model
+
+            mu = self.engine.cfg.vision.spatial_merge_unit
+            n_vis = int(np.prod(grid)) // mu
+            D = self.engine.cfg.text.hidden_size
+            rows = []
+            for w in work:
+                if w is not None and w["patches"] is not None:
+                    rows.append(
+                        model.encode_video(
+                            self.engine.cfg,
+                            self.engine.params,
+                            jnp.asarray(w["patches"], self.engine.dtype),
+                            (grid,),
+                        )
+                    )
+                else:
+                    rows.append(jnp.zeros((n_vis, D), self.engine.dtype))
+            ve = jnp.stack(rows)
+
+        segs = [None if w is None else w["segs"] for w in work]
+        outs = self.engine.process_round(segs, vis_embeds=ve, grid_thw=grid)
+        for b, (c, out) in enumerate(zip(clients, outs)):
+            if out is None or c is None:
+                continue
+            gen, _n = out
+            self.engine.engines[b].commit_assistant(
+                gen, self.end_bias, c.chunk_index
+            )
+            c._results.put((c.chunk_index, np.asarray(gen)))
+            c.chunk_index += 1
+        return n_active
+
+    # ------------------------------------------------------------ background
+    def start(self, poll_s: float = 0.002) -> None:
+        """Drive rounds on a background thread until stop()."""
+        assert self._thread is None
+
+        def loop():
+            while not self._stop.is_set():
+                if self.run_round_once() == 0:
+                    self._wake.wait(timeout=poll_s)
+                    self._wake.clear()
+
+        self._stop.clear()
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        if self._thread is not None:
+            self._stop.set()
+            self._wake.set()
+            self._thread.join()
+            self._thread = None

@@ -1,0 +1,152 @@
+"""MultiStreamServer: asynchronous multi-client serving over dynamic lanes.
+Deterministic rounds must equal solo engines; the background thread must
+deliver every submitted chunk; lane exhaustion raises."""
+
+import queue
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streaming_vlm_tpu.config import SamplingConfig, StreamConfig, qwen25_vl_tiny
+from streaming_vlm_tpu.models.qwen25_vl import model
+from streaming_vlm_tpu.streaming.engine import StreamingEngine
+from streaming_vlm_tpu.streaming.multiserve import MultiStreamServer
+from streaming_vlm_tpu.streaming.multistream import MultiStreamEngine
+from streaming_vlm_tpu.streaming.protocol import FakeTokenizer, PromptBuilder
+
+CFG = qwen25_vl_tiny()
+TOK = CFG.tokens
+GRID = (1, 4, 4)
+PATCH_DIM = (
+    CFG.vision.in_channels * CFG.vision.temporal_patch_size * CFG.vision.patch_size**2
+)
+N_VID_TOK = GRID[0] * (GRID[1] // 2) * (GRID[2] // 2)
+END_BIAS = 2
+
+
+def _stream_cfg():
+    return StreamConfig(
+        text_round=3, window_size=2, chunk_duration=1, text_sink=8,
+        text_sliding_window=8, max_tokens_per_chunk=6, kv_capacity=1024,
+        prefill_buckets=(64, 128),
+    )
+
+
+def _greedy():
+    return SamplingConfig(do_sample=False, repetition_penalty=1.05)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return model.init_params(CFG, jax.random.PRNGKey(11), dtype=jnp.float32)
+
+
+def _chunk(builder, i, query, patches_seed):
+    rng = np.random.default_rng(patches_seed)
+    patches = rng.normal(size=(int(np.prod(GRID)), PATCH_DIM)).astype(np.float32) * 0.1
+    segs = []
+    if i == 0:
+        segs.append(builder.system_segment())
+        segs.extend(builder.previous_text_segments("prev " + query))
+        segs.extend(
+            builder.user_turn_segments(0, 0.0, 1.0, N_VID_TOK, GRID, 1.0, query=query)
+        )
+    else:
+        segs.extend(
+            builder.user_turn_segments(i, float(i), float(i + 1), N_VID_TOK, GRID, 1.0)
+        )
+    segs.extend(builder.assistant_open_segments(i))
+    return segs, patches
+
+
+def _solo_run(params, query, n_chunks, seed0):
+    eng = StreamingEngine(CFG, params, _stream_cfg(), _greedy(), dtype=jnp.float32)
+    builder = PromptBuilder(TOK, FakeTokenizer(TOK))
+    gens = []
+    for i in range(n_chunks):
+        segs, patches = _chunk(builder, i, query, seed0 + i)
+        gen, _ = eng.process_chunk(segs, pixel_patches=patches, grid_thw=GRID)
+        eng.commit_assistant(gen, END_BIAS, i)
+        gens.append(np.asarray(gen))
+    return gens
+
+
+def test_server_rounds_match_solo(params):
+    """Client A streams 4 chunks; client B attaches mid-flight (A's chunk 2)
+    and streams 2; every delivered generation equals the solo engines'."""
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv = MultiStreamServer(ms, end_bias=END_BIAS)
+
+    solo_a = _solo_run(params, "narrate the game", 4, seed0=100)
+    solo_b = _solo_run(params, "describe the scene", 2, seed0=500)
+
+    a = srv.attach()
+    ba = PromptBuilder(TOK, FakeTokenizer(TOK))
+    bb = None
+    b = None
+    got_a, got_b = [], []
+    for rnd in range(4):
+        segs, patches = _chunk(ba, rnd, "narrate the game", 100 + rnd)
+        a.submit(segs, pixel_patches=patches, grid_thw=GRID)
+        if rnd == 2:
+            b = srv.attach()
+            bb = PromptBuilder(TOK, FakeTokenizer(TOK))
+        if b is not None and rnd >= 2:
+            segs, patches = _chunk(bb, rnd - 2, "describe the scene", 500 + rnd - 2)
+            b.submit(segs, pixel_patches=patches, grid_thw=GRID)
+        n = srv.run_round_once()
+        assert n == (1 if rnd < 2 else 2)
+        got_a.append(a.get(timeout=1))
+        if rnd >= 2:
+            got_b.append(b.get(timeout=1))
+
+    for i, (idx, gen) in enumerate(got_a):
+        assert idx == i
+        np.testing.assert_array_equal(solo_a[i], gen, err_msg=f"client A chunk {i}")
+    for i, (idx, gen) in enumerate(got_b):
+        assert idx == i
+        np.testing.assert_array_equal(solo_b[i], gen, err_msg=f"client B chunk {i}")
+
+    # detach frees the lane for a third client
+    a.close()
+    c = srv.attach()
+    assert c.lane == a.lane
+
+
+def test_server_lane_exhaustion(params):
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv = MultiStreamServer(ms)
+    srv.attach()
+    srv.attach()
+    with pytest.raises(RuntimeError, match="lanes taken"):
+        srv.attach()
+
+
+def test_server_background_thread(params):
+    """Background scheduler delivers every chunk of two concurrent clients."""
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv = MultiStreamServer(ms, end_bias=END_BIAS)
+    srv.start()
+    try:
+        clients = [srv.attach(), srv.attach()]
+        builders = [PromptBuilder(TOK, FakeTokenizer(TOK)) for _ in clients]
+        for i in range(3):
+            for c, bld, q in zip(clients, builders, ("alpha", "beta")):
+                segs, patches = _chunk(bld, i, q, 900 + 10 * c.lane + i)
+                c.submit(segs, pixel_patches=patches, grid_thw=GRID)
+        for c in clients:
+            for i in range(3):
+                idx, gen = c.get(timeout=60)
+                assert idx == i and len(gen) >= 1
+    finally:
+        srv.stop()
+    for e in ms.engines:
+        assert e.cached + e.uncached_tail == e.table.total_len()
