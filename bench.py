@@ -103,6 +103,9 @@ def run_stream(args):
             int(b)
             for b in os.environ.get("SVT_BENCH_BUCKETS", "640,1024").split(",")
         ),
+        # SVT_KV_QUANT=int8 stores the persistent arena int8 (A/B lever;
+        # halves arena HBM — the marginal cost per multi-stream lane)
+        kv_quant=os.environ.get("SVT_KV_QUANT", "none"),
     )
     sampling = SamplingConfig(temperature=0.9, repetition_penalty=1.05, do_sample=True)
 
@@ -327,6 +330,9 @@ def run_multistream(args):
         prerotate_arena=(
             False if os.environ.get("SVT_PREROTATE") == "0" else None
         ),
+        # int8 lanes: halves each lane's persistent arena — at 7B this is
+        # what turns the B=6 prerotate OOM into a fit (docs/MULTISTREAM.md)
+        kv_quant=os.environ.get("SVT_KV_QUANT", "none"),
     )
     sampling = SamplingConfig(temperature=0.9, repetition_penalty=1.05, do_sample=True)
 

@@ -261,6 +261,14 @@ class StreamConfig:
     # arena is small enough that the copy is cheap (<= 32k slots); the
     # full-attention ablation's stream-length arena picks the raw mode.
     prerotate_arena: Optional[bool] = None
+    # KV-arena storage: "none" (engine dtype, default) or "int8" (per-slot
+    # symmetric scales over head_dim — ops/quant.py quantize_kv). int8 halves
+    # the persistent arena HBM, which is the marginal cost per concurrent
+    # stream (multi-stream serving) and the binding constraint of the
+    # full-attention efficiency ablation; the per-chunk rotated-K copy stays
+    # in the engine dtype (decode reads it every token — int8 reads convert
+    # at ~half VMEM efficiency, measured in round 2's weight-only study).
+    kv_quant: str = "none"
 
     @property
     def effective_prerotate(self) -> bool:

@@ -330,7 +330,8 @@ def language_forward_streaming(
     or rotate VPU work). `arena_rotated=False` rotates in-place from
     `arena_positions` (used by tests/oracles and one-shot calls)."""
     T = inputs_embeds.shape[0]
-    C = arena[0].shape[1]
+    C = arena_capacity(arena[0])
+    cdt = inputs_embeds.dtype  # compute dtype for dequantized arena slices
     inv_freq = jnp.asarray(make_inv_freq(cfg.head_dim, cfg.rope_theta))
     q_cos, q_sin = mrope_cos_sin(q_positions, inv_freq, cfg.mrope_section)
     if arena_rotated:
@@ -374,6 +375,7 @@ def language_forward_streaming(
 
         def scan_fn_pallas(hidden, xs):
             lp, ak, av = xs
+            ak, av = _deq_layer(ak, cdt), _deq_layer(av, cdt)
             x = rms_norm(hidden, lp["input_ln"], cfg.rms_norm_eps)
             q = (mm(x, lp["q_w"]) + lp["q_b"]).reshape(T, H, hd)
             k_new = (mm(x, lp["k_w"]) + lp["k_b"]).reshape(T, Hkv, hd)
@@ -439,6 +441,7 @@ def language_forward_streaming(
 
         def scan_fn(hidden, xs):
             lp, ak, av, ek, ev = xs
+            ak, av = _deq_layer(ak, cdt), _deq_layer(av, cdt)
             if use_decode_kernel:
                 ctx = [(ek, ev, e_cos, e_sin, extra_mask)]
                 ak_kernel = (ak, av, visible_len, extra_visible, dec_cb, dec_interp)
@@ -460,6 +463,7 @@ def language_forward_streaming(
 
         def scan_fn(hidden, xs):
             lp, ak, av = xs
+            ak, av = _deq_layer(ak, cdt), _deq_layer(av, cdt)
             ctx = [(ak, av, a_cos, a_sin, arena_mask)]
             hidden, kn, knr, vn = _layer_body(
                 cfg, hidden, lp, q_cos=q_cos, q_sin=q_sin, self_mask=self_mask, context=ctx
@@ -489,7 +493,30 @@ def lm_logits(cfg: TextConfig, params: Params, hidden: jnp.ndarray) -> jnp.ndarr
 
 
 def init_kv_arena(
-    cfg: TextConfig, capacity: int, dtype=jnp.bfloat16
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    cfg: TextConfig, capacity: int, dtype=jnp.bfloat16, quant: str = "none"
+):
+    """Allocate the [L, C, Hkv, hd] K/V arenas. quant="int8" stores each as a
+    {"q": int8, "s": f32 [L, C, Hkv]} pytree (ops/quant.py quantize_kv) —
+    half the HBM; every consumer dequantizes per layer inside its scan."""
     shape = (cfg.num_hidden_layers, capacity, cfg.num_key_value_heads, cfg.head_dim)
+    if quant == "int8":
+        from ...ops.quant import quantize_kv
+
+        z = jax.jit(quantize_kv)(jnp.zeros(shape, dtype))
+        return z, jax.tree_util.tree_map(jnp.copy, z)
+    assert quant == "none", quant
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def arena_capacity(arena) -> int:
+    """Slot count of an arena in either representation."""
+    return (arena["q"] if isinstance(arena, dict) else arena).shape[1]
+
+
+def _deq_layer(x, dtype):
+    """Dequantize one layer's arena slice inside the decoder scan (no-op for
+    an unquantized arena). The bf16 transient is one layer — [C, Hkv, hd] —
+    not a full-arena copy."""
+    from ...ops.quant import dequantize_kv, is_kv_quantized
+
+    return dequantize_kv(x, dtype) if is_kv_quantized(x) else x

@@ -177,6 +177,40 @@ def is_qtensor(w) -> bool:
     return isinstance(w, dict) and ("q" in w or "q4" in w) and "s" in w
 
 
+# ---------------------------------------------------------------------------
+# KV-cache quantization (int8 arena)
+# ---------------------------------------------------------------------------
+#
+# The streaming KV arena is the marginal HBM cost of every extra concurrent
+# stream (multi-stream serving) and the binding constraint of the
+# full-attention efficiency ablation. Storing it int8 with per-(slot, head)
+# symmetric scales over head_dim halves that footprint. K is quantized in its
+# UN-rotated form (rotation is orthogonal per frequency pair, so quantization
+# noise passes through RoPE unamplified); dequantization happens per layer
+# inside the decoder scan — the transient bf16 slice is one layer's worth,
+# never a full-arena copy. The arena travels as a {"q", "s"} pytree through
+# jit/scan/vmap/donation unchanged, so every engine path (single-stream,
+# batched multi-stream, compaction gather) works on both representations.
+
+
+def quantize_kv(x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """[..., hd] float -> {"q": int8 [..., hd], "s": f32 [...]} with symmetric
+    per-leading-index absmax scales over the last (head_dim) axis."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s}
+
+
+def dequantize_kv(t: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (t["q"].astype(jnp.float32) * t["s"][..., None]).astype(dtype)
+
+
+def is_kv_quantized(t) -> bool:
+    return isinstance(t, dict) and "q" in t
+
+
 def qdot(
     x: jnp.ndarray,  # [T, D] (any float dtype)
     qt: Dict[str, jnp.ndarray],  # {"q": [D, F] int8, "s": [1, F] f32}

@@ -132,3 +132,15 @@ def arena_sharding(mesh: Mesh, kv_heads: int) -> NamedSharding:
     if m > 1 and kv_heads % m == 0:
         return NamedSharding(mesh, P(None, None, "model", None))
     return NamedSharding(mesh, P())
+
+
+def arena_sharding_tree(mesh: Mesh, kv_heads: int, arena: Any) -> Any:
+    """arena_sharding generalised to either arena representation: a plain
+    [L, C, Hkv, hd] array, or the int8 {"q": [L, C, Hkv, hd], "s":
+    [L, C, Hkv]} pytree (StreamConfig.kv_quant) — the scales shard over the
+    same KV-head axis so dequantization stays device-local."""
+    sh = arena_sharding(mesh, kv_heads)
+    if not isinstance(arena, dict):
+        return sh
+    s_spec = P(*tuple(sh.spec)[:3]) if tuple(sh.spec) else P()
+    return {"q": sh, "s": NamedSharding(mesh, s_spec)}

@@ -28,6 +28,7 @@ import numpy as np
 
 from ..config import ModelConfig, SamplingConfig, StreamConfig
 from ..models.qwen25_vl import language, model
+from ..ops.quant import dequantize_kv, quantize_kv
 from ..ops.sampling import sample_token
 
 Params = Dict[str, Any]
@@ -73,43 +74,66 @@ def positions_from_descriptors(desc: Dict[str, jnp.ndarray], capacity: int) -> j
     return base[None, :] + jnp.stack([t, h, w])
 
 
+def _gather_slots(arena, src_idx: jnp.ndarray):
+    """Gather arena slots along axis 1 for every leaf ([L, C, Hkv, hd] data
+    and, for an int8 arena, its [L, C, Hkv] scales). The rank-3 view gathers
+    ~15% faster than the 4D take on v5e (tools/profile_variants.py)."""
+
+    def g(x):
+        shp = x.shape
+        x3 = x.reshape(shp[0], shp[1], -1)
+        return jnp.take(x3, src_idx, axis=1).reshape(shp)
+
+    return jax.tree_util.tree_map(g, arena)
+
+
+def _merge_block(arena, block: jnp.ndarray, at):
+    """Write a [L, T, Hkv, hd] float block into arena slots [at, at+T) in the
+    arena's own representation — quantizing per slot when the arena is int8
+    (StreamConfig.kv_quant)."""
+    if isinstance(arena, dict):
+        qb = quantize_kv(block)
+        return {
+            "q": jax.lax.dynamic_update_slice(arena["q"], qb["q"], (0, at, 0, 0)),
+            "s": jax.lax.dynamic_update_slice(
+                arena["s"], qb["s"].astype(arena["s"].dtype), (0, at, 0)
+            ),
+        }
+    return jax.lax.dynamic_update_slice(
+        arena, block.astype(arena.dtype), (0, at, 0, 0)
+    )
+
+
 @partial(jax.jit, donate_argnums=(0, 1, 2))
 def compact_arena(
-    k_arena: jnp.ndarray,  # [L, C, Hkv, hd]
-    v_arena: jnp.ndarray,
+    k_arena,  # [L, C, Hkv, hd] (or int8 {"q","s"} pytree)
+    v_arena,
     ids_arena: jnp.ndarray,  # [C] int32
     src_idx: jnp.ndarray,  # [C] int32 (padded with anything beyond new_len)
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Gather arena slots: new[:, i] = old[:, src_idx[i]]. One sweep per chunk.
-    The rank-3 view gathers ~15% faster than the 4D take on v5e
-    (tools/profile_variants.py); dispatched right after the eviction plan so
-    the device compacts WHILE the host assembles the next prompt."""
-    shp = k_arena.shape
-    k3 = k_arena.reshape(shp[0], shp[1], -1)
-    v3 = v_arena.reshape(shp[0], shp[1], -1)
+):
+    """Gather arena slots: new[:, i] = old[:, src_idx[i]]. One sweep per chunk,
+    dispatched right after the eviction plan so the device compacts WHILE the
+    host assembles the next prompt."""
     return (
-        jnp.take(k3, src_idx, axis=1).reshape(shp),
-        jnp.take(v3, src_idx, axis=1).reshape(shp),
+        _gather_slots(k_arena, src_idx),
+        _gather_slots(v_arena, src_idx),
         jnp.take(ids_arena, src_idx, axis=0),
     )
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2))
 def compact_arena_batched(
-    k_arena: jnp.ndarray,  # [B, L, C, Hkv, hd]
-    v_arena: jnp.ndarray,
+    k_arena,  # [B, L, C, Hkv, hd] (or int8 pytree)
+    v_arena,
     ids_arena: jnp.ndarray,  # [B, C]
     src_idx: jnp.ndarray,  # [B, C] (identity rows for unchanged streams)
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+):
     """Per-stream arena gathers for the multi-stream engine, one dispatch."""
 
     def one(k, v, ids, src):
-        shp = k.shape
-        k3 = k.reshape(shp[0], shp[1], -1)
-        v3 = v.reshape(shp[0], shp[1], -1)
         return (
-            jnp.take(k3, src, axis=1).reshape(shp),
-            jnp.take(v3, src, axis=1).reshape(shp),
+            _gather_slots(k, src),
+            _gather_slots(v, src),
             jnp.take(ids, src, axis=0),
         )
 
@@ -237,7 +261,8 @@ def _chunk_step_impl(
     rng, _chunk_key = jax.random.split(rng)
     cfg = statics.cfg
     tcfg = cfg.text
-    C = k_arena.shape[1]
+    C = language.arena_capacity(k_arena)
+    kv_quantized = isinstance(k_arena, dict)
 
     if statics.use_descriptors:
         slot_positions = positions_from_descriptors(slot_positions, C)
@@ -253,10 +278,16 @@ def _chunk_step_impl(
     # (efficiency config a) hold a 1000 s stream on a 16 GB chip.
     from ..models.qwen25_vl.rope import apply_rope, make_inv_freq, mrope_cos_sin
 
+    adt = (
+        params["text"]["embed"].dtype if kv_quantized else k_arena.dtype
+    )  # compute dtype of KV blocks/deltas (int8 arenas carry no float dtype)
     if statics.prerotate:
         inv_freq = jnp.asarray(make_inv_freq(tcfg.head_dim, tcfg.rope_theta))
         a_cos, a_sin = mrope_cos_sin(slot_positions, inv_freq, tcfg.mrope_section)
-        k_rot = apply_rope(k_arena, a_cos[:, None, :], a_sin[:, None, :])
+        # int8 arena: the dequantize fuses into this one elementwise rotate
+        # pass (read int8+scales, write the chunk's bf16 rotated copy)
+        k_full = dequantize_kv(k_arena, adt) if kv_quantized else k_arena
+        k_rot = apply_rope(k_full, a_cos[:, None, :], a_sin[:, None, :])
 
     # write the chunk's token ids, then build the repetition-penalty presence
     # mask fully on device (no host-side vocab bitmask upload)
@@ -299,17 +330,12 @@ def _chunk_step_impl(
         visible_len=insert_at,
         **prefill_arena,
     )
-    adt = k_arena.dtype
-    k_arena = jax.lax.dynamic_update_slice(
-        k_arena, k_block.astype(adt), (0, insert_at, 0, 0)
-    )
+    k_arena = _merge_block(k_arena, k_block, insert_at)
     if statics.prerotate:
         k_rot = jax.lax.dynamic_update_slice(
             k_rot, k_block_rot.astype(adt), (0, insert_at, 0, 0)
         )
-    v_arena = jax.lax.dynamic_update_slice(
-        v_arena, v_block.astype(adt), (0, insert_at, 0, 0)
-    )
+    v_arena = _merge_block(v_arena, v_block, insert_at)
     last_hidden = jax.lax.dynamic_slice(hidden, (n_real - 1, 0), (1, hidden.shape[1]))
     logits0 = language.lm_logits(tcfg, params["text"], last_hidden)[0]
 
@@ -317,8 +343,8 @@ def _chunk_step_impl(
     delta_pos = jax.lax.dynamic_slice(
         slot_positions, (0, decode_base), (3, statics.max_new)
     )
-    L = k_arena.shape[0]
-    Hkv, hd = k_arena.shape[2], k_arena.shape[3]
+    L = tcfg.num_hidden_layers
+    Hkv, hd = tcfg.num_key_value_heads, tcfg.head_dim
     delta_shape = (L, statics.max_new, Hkv, hd)
 
     def decode_body(carry, step):
@@ -391,8 +417,8 @@ def _chunk_step_impl(
         ),
         jnp.arange(statics.max_new),
     )
-    k_arena = jax.lax.dynamic_update_slice(k_arena, dk, (0, decode_base, 0, 0))
-    v_arena = jax.lax.dynamic_update_slice(v_arena, dv, (0, decode_base, 0, 0))
+    k_arena = _merge_block(k_arena, dk, decode_base)
+    v_arena = _merge_block(v_arena, dv, decode_base)
     ids_arena = jax.lax.dynamic_update_slice(ids_arena, gen, (decode_base,))
     n_gen = jnp.sum(~was_done)
     return k_arena, v_arena, ids_arena, gen, n_gen, rng
@@ -441,14 +467,18 @@ class StreamingEngine:
         C = stream.kv_capacity
         if allocate_arena:
             self._check_hbm_budget()
-            self.k_arena, self.v_arena = language.init_kv_arena(cfg.text, C, dtype)
+            self.k_arena, self.v_arena = language.init_kv_arena(
+                cfg.text, C, dtype, quant=stream.kv_quant
+            )
             if mesh is not None:
                 # the arena lives sharded over KV heads: each device keeps the
                 # cache of the attention heads it owns; eviction gathers and
                 # chunk-block merges stay device-local (no resharding traffic)
-                from ..parallel.mesh import arena_sharding
+                from ..parallel.mesh import arena_sharding_tree
 
-                sh = arena_sharding(mesh, cfg.text.num_key_value_heads)
+                sh = arena_sharding_tree(
+                    mesh, cfg.text.num_key_value_heads, self.k_arena
+                )
                 self.k_arena = jax.device_put(self.k_arena, sh)
                 self.v_arena = jax.device_put(self.v_arena, sh)
             self.ids_arena = jnp.zeros((C,), jnp.int32)
@@ -482,8 +512,14 @@ class StreamingEngine:
         t = self.cfg.text
         C = self.stream.kv_capacity
         item = jnp.dtype(self.dtype).itemsize
-        arena = 2 * t.num_hidden_layers * C * t.num_key_value_heads * t.head_dim * item
-        rot = arena // 2 if self.stream.effective_prerotate else 0
+        kv_elems = t.num_hidden_layers * C * t.num_key_value_heads * t.head_dim
+        if self.stream.kv_quant == "int8":
+            # int8 data + f32 per-(slot, head) scales
+            arena = 2 * int(kv_elems * (1 + 4.0 / t.head_dim))
+        else:
+            arena = 2 * kv_elems * item
+        # the per-chunk rotated-K copy stays in the engine dtype either way
+        rot = kv_elems * item if self.stream.effective_prerotate else 0
         par = sum(
             x.size * jnp.dtype(x.dtype).itemsize
             for x in jax.tree_util.tree_leaves(self.params)
@@ -513,10 +549,11 @@ class StreamingEngine:
                 f"{arena / gb:.2f} GiB"
                 + (f" + rotated copy {rot / gb:.2f} GiB" if rot else "")
                 + f" + params {par / gb:.2f} GiB > budget {budget / gb:.2f} GiB. "
-                f"Fix: {hint}, or set StreamConfig.prerotate_arena=False to "
-                f"drop the rotated copy (slower per token), or shorten the "
-                f"stream/window so fewer tokens survive eviction. Override "
-                f"the budget with $SVT_HBM_BYTES."
+                f"Fix: {hint}, or set StreamConfig.kv_quant='int8' to halve "
+                f"the arena, or prerotate_arena=False to drop the rotated "
+                f"copy (slower per token), or shorten the stream/window so "
+                f"fewer tokens survive eviction. Override the budget with "
+                f"$SVT_HBM_BYTES."
             )
 
     def _positions(self) -> np.ndarray:
@@ -1025,6 +1062,11 @@ class StreamingEngine:
         assert self.stream.effective_prerotate, (
             "spec decode reads the pre-rotated arena; prerotate_arena=False "
             "is not supported"
+        )
+        assert self.stream.kv_quant == "none", (
+            "spec decode does not support an int8 KV arena yet (its "
+            "prefill/verify steps write raw-dtype arena slices); run with "
+            "kv_quant='none'"
         )
         k_pad = k_draft + 1
         prep = self._prepare_chunk(

@@ -86,8 +86,17 @@ class MultiStreamEngine:
         t = cfg.text
         C = stream.kv_capacity
         shape = (n_streams, t.num_hidden_layers, C, t.num_key_value_heads, t.head_dim)
-        self.k_arena = jnp.zeros(shape, dtype)
-        self.v_arena = jnp.zeros(shape, dtype)
+        if stream.kv_quant == "int8":
+            # int8 lanes: the arena is the marginal HBM cost per stream, so
+            # halving it is what raises the max lane count on one chip
+            from ..ops.quant import quantize_kv
+
+            z = jax.jit(quantize_kv)(jnp.zeros(shape, dtype))
+            self.k_arena = z
+            self.v_arena = jax.tree_util.tree_map(jnp.copy, z)
+        else:
+            self.k_arena = jnp.zeros(shape, dtype)
+            self.v_arena = jnp.zeros(shape, dtype)
         self.ids_arena = jnp.zeros((n_streams, C), jnp.int32)
         self._ident_src = np.arange(C, dtype=np.int32)
         self.rngs = jax.random.split(jax.random.PRNGKey(sampling.seed), n_streams)
@@ -104,11 +113,15 @@ class MultiStreamEngine:
         t = self.cfg.text
         C = self.stream.kv_capacity
         item = jnp.dtype(self.dtype).itemsize
-        arena = (
-            2 * self.n * t.num_hidden_layers * C * t.num_key_value_heads
-            * t.head_dim * item
+        kv_elems = (
+            self.n * t.num_hidden_layers * C * t.num_key_value_heads * t.head_dim
         )
-        rot = arena // 2 if self.stream.effective_prerotate else 0
+        if self.stream.kv_quant == "int8":
+            arena = 2 * int(kv_elems * (1 + 4.0 / t.head_dim))
+        else:
+            arena = 2 * kv_elems * item
+        # the per-chunk rotated-K copies stay in the engine dtype either way
+        rot = kv_elems * item if self.stream.effective_prerotate else 0
         par = sum(
             x.size * jnp.dtype(x.dtype).itemsize
             for x in jax.tree_util.tree_leaves(self.params)
@@ -132,8 +145,9 @@ class MultiStreamEngine:
                 + (f" + rotated copies {rot / gb:.2f} GiB" if rot else "")
                 + f" + params {par / gb:.2f} GiB > budget {budget / gb:.2f} "
                 f"GiB. Fix: at this kv_capacity the chip fits at most "
-                f"{max_b} streams (or lower kv_capacity / set "
-                f"prerotate_arena=False). Override with $SVT_HBM_BYTES."
+                f"{max_b} streams (or set kv_quant='int8' to halve the "
+                f"arenas, lower kv_capacity, or set prerotate_arena=False). "
+                f"Override with $SVT_HBM_BYTES."
             )
 
     # ------------------------------------------------------------------ vision
