@@ -1063,11 +1063,6 @@ class StreamingEngine:
             "spec decode reads the pre-rotated arena; prerotate_arena=False "
             "is not supported"
         )
-        assert self.stream.kv_quant == "none", (
-            "spec decode does not support an int8 KV arena yet (its "
-            "prefill/verify steps write raw-dtype arena slices); run with "
-            "kv_quant='none'"
-        )
         k_pad = k_draft + 1
         prep = self._prepare_chunk(
             chunk_segs,
@@ -1125,9 +1120,12 @@ class StreamingEngine:
         Hkv = self.cfg.text.num_key_value_heads
         hd = self.cfg.text.head_dim
         shape = (L, n_delta, Hkv, hd)
-        dk = jnp.zeros(shape, self.k_arena.dtype)
-        dkr = jnp.zeros(shape, self.k_arena.dtype)
-        dv = jnp.zeros(shape, self.k_arena.dtype)
+        # deltas stay in the engine dtype regardless of arena representation;
+        # spec_commit_step quantizes them on merge when kv_quant="int8"
+        dd = self.dtype if isinstance(self.k_arena, dict) else self.k_arena.dtype
+        dk = jnp.zeros(shape, dd)
+        dkr = jnp.zeros(shape, dd)
+        dv = jnp.zeros(shape, dd)
 
         emitted_all: List[int] = [int(pending)]
         ctx_ids = self.table.token_ids()

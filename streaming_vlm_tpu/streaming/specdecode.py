@@ -42,8 +42,9 @@ import numpy as np
 
 from ..config import ModelConfig
 from ..models.qwen25_vl import language
+from ..ops.quant import dequantize_kv
 from ..ops.sampling import apply_repetition_penalty
-from .engine import positions_from_descriptors
+from .engine import _merge_block, positions_from_descriptors
 
 Params = Dict[str, Any]
 
@@ -88,13 +89,18 @@ def spec_prefill_step(
     rng, key0 = jax.random.split(rng)
     cfg = statics.cfg
     tcfg = cfg.text
-    C = k_arena.shape[1]
+    C = language.arena_capacity(k_arena)
+    kv_quantized = isinstance(k_arena, dict)
+    adt = params["text"]["embed"].dtype if kv_quantized else k_arena.dtype
     if statics.use_descriptors:
         slot_positions = positions_from_descriptors(slot_positions, C)
 
     inv_freq = jnp.asarray(make_inv_freq(tcfg.head_dim, tcfg.rope_theta))
     a_cos, a_sin = mrope_cos_sin(slot_positions, inv_freq, tcfg.mrope_section)
-    k_rot = apply_rope(k_arena, a_cos[:, None, :], a_sin[:, None, :])
+    # int8 arena: dequantize fuses into this one rotate pass (same shape as
+    # chunk_step's prerotate path); k_rot itself stays in the engine dtype
+    k_full = dequantize_kv(k_arena, adt) if kv_quantized else k_arena
+    k_rot = apply_rope(k_full, a_cos[:, None, :], a_sin[:, None, :])
 
     ids_arena = jax.lax.dynamic_update_slice(ids_arena, tokens, (insert_at,))
     valid = jnp.arange(C) < (insert_at + n_real)
@@ -117,16 +123,11 @@ def spec_prefill_step(
         arena_rotated=True,
         visible_len=insert_at,
     )
-    adt = k_arena.dtype
-    k_arena = jax.lax.dynamic_update_slice(
-        k_arena, k_block.astype(adt), (0, insert_at, 0, 0)
-    )
+    k_arena = _merge_block(k_arena, k_block, insert_at)
     k_rot = jax.lax.dynamic_update_slice(
         k_rot, k_block_rot.astype(adt), (0, insert_at, 0, 0)
     )
-    v_arena = jax.lax.dynamic_update_slice(
-        v_arena, v_block.astype(adt), (0, insert_at, 0, 0)
-    )
+    v_arena = _merge_block(v_arena, v_block, insert_at)
     last_hidden = jax.lax.dynamic_slice(hidden, (n_real - 1, 0), (1, hidden.shape[1]))
     logits0 = language.lm_logits(tcfg, params["text"], last_hidden)[0]
 
@@ -278,9 +279,11 @@ def spec_commit_step(
     decode_base: jnp.ndarray,
 ):
     """Merge the spec-decode delta + emitted ids into the arena (one
-    dispatch; the AR chunk_step does this inside its own graph)."""
-    k_arena = jax.lax.dynamic_update_slice(k_arena, dk, (0, decode_base, 0, 0))
-    v_arena = jax.lax.dynamic_update_slice(v_arena, dv, (0, decode_base, 0, 0))
+    dispatch; the AR chunk_step does this inside its own graph). The deltas
+    are engine-dtype; _merge_block quantizes them per slot when the arena is
+    int8 (StreamConfig.kv_quant)."""
+    k_arena = _merge_block(k_arena, dk, decode_base)
+    v_arena = _merge_block(v_arena, dv, decode_base)
     ids_arena = jax.lax.dynamic_update_slice(ids_arena, emitted, (decode_base,))
     return k_arena, v_arena, ids_arena
 

@@ -20,11 +20,12 @@ GRID = (1, 4, 4)
 PATCH_DIM = CFG.vision.in_channels * CFG.vision.temporal_patch_size * CFG.vision.patch_size**2
 
 
-def _drive(params, n_chunks=3, cfg=CFG, mesh=None):
+def _drive(params, n_chunks=3, cfg=CFG, mesh=None, kv_quant="none"):
     stream = StreamConfig(
         text_round=2, window_size=2, chunk_duration=1,
         text_sink=4, text_sliding_window=3, max_tokens_per_chunk=4,
         kv_capacity=1024, prefill_buckets=(64, 128, 256),
+        kv_quant=kv_quant,
     )
     engine = StreamingEngine(
         cfg, params, stream, SamplingConfig(do_sample=False), dtype=jnp.float32,
@@ -133,6 +134,21 @@ def test_7b_sharded_quantized_streaming():
     mesh = make_mesh({"data": 2, "model": 4})
     sharded, _ = shard_params(qp, mesh)
     out = _drive(sharded, cfg=cfg, mesh=mesh)
+    assert out == ref
+
+
+def test_7b_sharded_int8_kv_arena_streaming():
+    """The int8 KV arena ({q,s} pytree, StreamConfig.kv_quant) shards over
+    the same kv-head axis as the bf16 arena (parallel/mesh.py
+    arena_sharding_tree — scales co-sharded so dequantization stays
+    device-local): TP-sharded == single-device generations."""
+    cfg = _7b_geometry_cfg()
+    params = model.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    ref = _drive(params, cfg=cfg, kv_quant="int8")
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sharded, _ = shard_params(params, mesh)
+    out = _drive(sharded, cfg=cfg, mesh=mesh, kv_quant="int8")
     assert out == ref
 
 

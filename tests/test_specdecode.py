@@ -23,11 +23,11 @@ PATCH_DIM = (
 )
 
 
-def _make_engine(params, max_new=6):
+def _make_engine(params, max_new=6, kv_quant="none"):
     stream = StreamConfig(
         text_round=3, window_size=2, chunk_duration=1, text_sink=8,
         text_sliding_window=8, max_tokens_per_chunk=max_new, kv_capacity=1024,
-        prefill_buckets=(64, 128),
+        prefill_buckets=(64, 128), kv_quant=kv_quant,
     )
     sampling = SamplingConfig(do_sample=False, repetition_penalty=1.05)
     return StreamingEngine(CFG, params, stream, sampling, dtype=jnp.float32)
@@ -49,10 +49,10 @@ def _chunk_segs(builder, i, n_vid_tok):
     return segs
 
 
-def _run_stream(params, draft_factory, n_chunks=5, max_new=6):
+def _run_stream(params, draft_factory, n_chunks=5, max_new=6, kv_quant="none"):
     """Drive a stream; draft_factory(chunk_gens_so_far) -> draft_fn or None
     (None = autoregressive path)."""
-    engine = _make_engine(params, max_new)
+    engine = _make_engine(params, max_new, kv_quant)
     builder = PromptBuilder(TOK, FakeTokenizer(TOK))
     _, end_bias = builder.measure_biases()
     rng = np.random.default_rng(7)
@@ -129,6 +129,26 @@ def test_spec_table_and_kv_invariants(params):
     )
     for a, b in zip(gens_ar, gens_sp):
         np.testing.assert_array_equal(a, b)
+
+
+def test_spec_int8_kv_arena_matches_ar_int8(params):
+    """Spec decode composes with the int8 KV arena (StreamConfig.kv_quant):
+    greedy spec over quantized lanes == the AR engine over the SAME quantized
+    arena, exactly — both across a no-op draft and a clairvoyant draft, and
+    across evictions (the spec commit quantizes per slot exactly like the AR
+    chunk_step's merge)."""
+    ar, _ = _run_stream(params, lambda i, g: "AR", kv_quant="int8")
+    sp_none, _ = _run_stream(params, lambda i, g: None, kv_quant="int8")
+    for a, b in zip(ar, sp_none):
+        np.testing.assert_array_equal(a, b)
+
+    def clairvoyant(i, gens):
+        return FixedDraft(ar[i])
+
+    sp_cv, eng = _run_stream(params, clairvoyant, kv_quant="int8")
+    for a, b in zip(ar, sp_cv):
+        np.testing.assert_array_equal(a, b)
+    assert eng.cached + eng.uncached_tail == eng.table.total_len()
 
 
 def test_spec_sampling_runs_and_respects_budget(params):
