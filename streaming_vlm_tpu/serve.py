@@ -84,6 +84,17 @@ class StreamingSession:
         self.recompute = recompute
         self._recent_videos: List = []  # (pixel_patches, grid) for recompute mode
 
+    def snapshot(self):
+        """Serialize the live stream (streaming/snapshot.py): KV prefix +
+        segment table + accounting + rng. Resume in any process with
+        `session.restore(snap)` and continue at `session.engine.chunk_index`.
+        The n-gram draft's statistics are not snapshotted (they affect
+        spec-decode speed, never tokens)."""
+        return self.engine.snapshot()
+
+    def restore(self, snap) -> None:
+        self.engine.restore(snap)
+
     def _decode_text(self, ids: np.ndarray) -> str:
         if hasattr(self.tokenizer, "decode"):
             return self.tokenizer.decode(

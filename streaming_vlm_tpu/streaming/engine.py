@@ -562,6 +562,48 @@ class StreamingEngine:
             tokens_per_second=self.cfg.vision.tokens_per_second,
         )
 
+    # -------------------------------------------------------------- snapshot
+    def snapshot(self) -> Dict[str, Any]:
+        """Full live-stream state (valid arena prefix + table + accounting +
+        rng) as host numpy — see streaming/snapshot.py for the contract.
+        Continue-after-restore is bitwise-equal to never having stopped."""
+        from .snapshot import _slots_to_np, snapshot_host
+
+        assert self.k_arena is not None, (
+            "engine does not own an arena (multi-stream lane) — use "
+            "MultiStreamEngine.snapshot_lane"
+        )
+        snap = snapshot_host(self)
+        n = self.cached
+        snap["ids"] = np.asarray(self.ids_arena[:n])
+        snap["k"] = _slots_to_np(self.k_arena, n)
+        snap["v"] = _slots_to_np(self.v_arena, n)
+        return snap
+
+    def restore(self, snap: Dict[str, Any]) -> None:
+        """Adopt a snapshot (from `snapshot()` or snapshot.load_snapshot) in
+        place of this engine's current stream. Config must agree on kv_quant
+        and pos_mode; kv_capacity may differ as long as it holds `cached`
+        slots. Geometry (L, Hkv, hd) is validated against the arena."""
+        from .snapshot import _np_geometry, _write_slots, restore_host
+
+        assert self.k_arena is not None, (
+            "engine does not own an arena (multi-stream lane) — use "
+            "MultiStreamEngine.restore_lane"
+        )
+        t = self.cfg.text
+        geo = (t.num_hidden_layers, t.num_key_value_heads, t.head_dim)
+        if int(snap["cached"]):
+            assert _np_geometry(snap["k"]) == geo, (_np_geometry(snap["k"]), geo)
+        restore_host(self, snap)
+        n = self.cached
+        ids = jnp.zeros((self.stream.kv_capacity,), jnp.int32)
+        if n:
+            ids = ids.at[:n].set(jnp.asarray(snap["ids"], jnp.int32))
+        self.ids_arena = jax.device_put(ids, self.ids_arena.sharding)
+        self.k_arena = _write_slots(self.k_arena, snap["k"], n)
+        self.v_arena = _write_slots(self.v_arena, snap["v"], n)
+
     def prewarm(
         self,
         grids: Tuple[Tuple[int, int, int], ...] = (),

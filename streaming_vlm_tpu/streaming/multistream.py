@@ -419,6 +419,67 @@ class MultiStreamEngine:
         )
         self.rngs = self.rngs.at[b].set(jax.random.split(key, 1)[0])
 
+    # ------------------------------------------------------------------ snapshot
+    def snapshot_lane(self, b: int):
+        """Serialize lane b's live stream (streaming/snapshot.py): same
+        format as StreamingEngine.snapshot(), so a lane can be checkpointed,
+        restored into a solo engine on another chip, or vice versa. The
+        lane's sampling key (self.rngs[b], not the lane engine's unused
+        .rng) rides along, so sampled continuations stay deterministic."""
+        from .snapshot import _slots_to_np, snapshot_host
+
+        assert self._inflight is None, "snapshot_lane mid-round"
+        eng = self.engines[b]
+        snap = snapshot_host(eng)
+        snap["rng"] = np.asarray(self.rngs[b])
+        n = eng.cached
+        snap["ids"] = np.asarray(self.ids_arena[b, :n])
+        snap["k"] = _slots_to_np(
+            jax.tree_util.tree_map(lambda x: x[b], self.k_arena), n
+        )
+        snap["v"] = _slots_to_np(
+            jax.tree_util.tree_map(lambda x: x[b], self.v_arena), n
+        )
+        return snap
+
+    def restore_lane(self, b: int, snap) -> None:
+        """Adopt a snapshot into lane b (live-stream migration INTO the
+        batched server): fresh host engine + lane rows of the stacked
+        arenas. Other lanes are untouched and nothing recompiles (static
+        shapes). Continuation is bitwise what the source engine would have
+        produced (tests/test_snapshot.py)."""
+        from .snapshot import restore_host
+
+        assert self._inflight is None, "restore_lane mid-round"
+        self.engines[b] = StreamingEngine(
+            self.cfg,
+            self.params,
+            self.stream,
+            self.sampling,
+            dtype=self.dtype,
+            allocate_arena=False,
+        )
+        eng = self.engines[b]
+        restore_host(eng, snap)
+        self.rngs = self.rngs.at[b].set(jnp.asarray(snap["rng"]))
+        n = eng.cached
+        C = self.stream.kv_capacity
+        ids_row = np.zeros(C, np.int32)
+        ids_row[:n] = np.asarray(snap["ids"], np.int32)
+        self.ids_arena = self.ids_arena.at[b].set(jnp.asarray(ids_row))
+
+        def write(arena, prefix):
+            def one(x, p):
+                row = jnp.zeros(x.shape[1:], x.dtype)
+                if n:
+                    row = row.at[:, :n].set(jnp.asarray(p).astype(x.dtype))
+                return x.at[b].set(row)
+
+            return jax.tree_util.tree_map(one, arena, prefix)
+
+        self.k_arena = write(self.k_arena, snap["k"])
+        self.v_arena = write(self.v_arena, snap["v"])
+
     # ------------------------------------------------------------------ warmup
     def prewarm(
         self,
