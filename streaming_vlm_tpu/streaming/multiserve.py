@@ -70,6 +70,19 @@ class StreamClient:
         on timeout."""
         return self._results.get(timeout=timeout)
 
+    def snapshot(self) -> Dict[str, Any]:
+        """Serialize this client's live stream (streaming/snapshot.py) —
+        typically right before close(), to migrate the stream to another
+        server/process/chip (`attach(snapshot=...)` there) or persist it
+        (snapshot.save_snapshot). Serialises against in-flight rounds; any
+        not-yet-processed submits are NOT part of the snapshot — drain
+        results first."""
+        assert not self.closed, "client closed"
+        assert self._pending.empty(), (
+            "snapshot with submitted chunks still pending; drain get() first"
+        )
+        return self._server._snapshot(self)
+
     def close(self) -> None:
         """Detach: the lane becomes free for the next client. Pending
         chunks not yet processed are dropped."""
@@ -95,21 +108,38 @@ class MultiStreamServer:
         self._wake = threading.Event()
 
     # ------------------------------------------------------------- lifecycle
-    def attach(self, seed: Optional[int] = None) -> StreamClient:
+    def attach(
+        self,
+        seed: Optional[int] = None,
+        snapshot: Optional[Dict[str, Any]] = None,
+    ) -> StreamClient:
         """Claim a free lane for a new client (resets the lane's host state;
-        no recompile, no disturbance to live lanes). Raises RuntimeError
-        when every lane is taken — callers queue or scale out."""
+        no recompile, no disturbance to live lanes). With `snapshot` (from
+        StreamClient.snapshot / StreamingEngine.snapshot / snapshot.
+        load_snapshot) the client RESUMES that stream mid-flight — live
+        migration between servers, processes or chips — and its chunk clock
+        continues at the snapshot's chunk_index. Raises RuntimeError when
+        every lane is taken — callers queue or scale out."""
         with self._lock:
             for b, c in enumerate(self._clients):
                 if c is None:
-                    self.engine.reset_lane(b, seed=seed)
+                    if snapshot is not None:
+                        self.engine.restore_lane(b, snapshot)
+                    else:
+                        self.engine.reset_lane(b, seed=seed)
                     client = StreamClient(self, b)
+                    if snapshot is not None:
+                        client.chunk_index = self.engine.engines[b].chunk_index
                     self._clients[b] = client
                     return client
         raise RuntimeError(
             f"all {self.engine.n} lanes taken; detach a client or serve "
             f"with a larger n_streams"
         )
+
+    def _snapshot(self, client: StreamClient) -> Dict[str, Any]:
+        with self._lock:
+            return self.engine.snapshot_lane(client.lane)
 
     def _detach(self, client: StreamClient) -> None:
         with self._lock:

@@ -117,6 +117,48 @@ def test_server_rounds_match_solo(params):
     assert c.lane == a.lane
 
 
+def test_server_to_server_migration(params):
+    """A client snapshots off server 1 and re-attaches on a DIFFERENT server
+    (fresh engine — another process/chip in deployment) via
+    attach(snapshot=...): its stream continues exactly where it left off,
+    chunk clock included, next to an unrelated client on the new server."""
+    solo = _solo_run(params, "narrate the game", 5, seed0=100)
+
+    ms1 = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv1 = MultiStreamServer(ms1, end_bias=END_BIAS)
+    a = srv1.attach()
+    ba = PromptBuilder(TOK, FakeTokenizer(TOK))
+    for i in range(3):
+        segs, patches = _chunk(ba, i, "narrate the game", 100 + i)
+        a.submit(segs, pixel_patches=patches, grid_thw=GRID)
+        srv1.run_round_once()
+        idx, gen = a.get(timeout=1)
+        np.testing.assert_array_equal(solo[i], gen)
+    snap = a.snapshot()
+    a.close()
+
+    ms2 = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv2 = MultiStreamServer(ms2, end_bias=END_BIAS)
+    other = srv2.attach()  # unrelated client occupies lane 0 first
+    bo = PromptBuilder(TOK, FakeTokenizer(TOK))
+    m = srv2.attach(snapshot=snap)
+    assert m.chunk_index == 3
+    for j in range(2):
+        segs, patches = _chunk(ba, 3 + j, "narrate the game", 100 + 3 + j)
+        m.submit(segs, pixel_patches=patches, grid_thw=GRID)
+        segs_o, patches_o = _chunk(bo, j, "other stream", 700 + j)
+        other.submit(segs_o, pixel_patches=patches_o, grid_thw=GRID)
+        assert srv2.run_round_once() == 2
+        idx, gen = m.get(timeout=1)
+        assert idx == 3 + j
+        np.testing.assert_array_equal(solo[3 + j], gen, err_msg=f"chunk {3+j}")
+        other.get(timeout=1)
+
+
 def test_server_lane_exhaustion(params):
     ms = MultiStreamEngine(
         CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
