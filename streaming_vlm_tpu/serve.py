@@ -294,12 +294,18 @@ def streaming_inference(
     gt_lookup: Optional[Dict[str, str]] = None,
     recompute: bool = False,
     spec_decode: bool = False,
+    resume_snapshot: Optional[Dict] = None,  # streaming/snapshot.py dict
     dtype=None,
 ):
     """Chunked streaming inference over a video file. Returns the list of
     per-chunk responses, plus per-chunk section timings when time_test=True
     (returning BOTH, fixing the reference's efficiency-harness drift at
-    eval/efficiency/efficiency_test.py:74 vs inference.py:520)."""
+    eval/efficiency/efficiency_test.py:74 vs inference.py:520).
+
+    `resume_snapshot` (from StreamingSession.snapshot() or
+    snapshot.load_snapshot) continues an interrupted run of the SAME
+    video/config from its chunk_index — fault recovery for long streams;
+    the VTT appends and the returned lists cover only the resumed chunks."""
     from .utils.vtt import open_vtt, sec2ts
     from .video.ingest import ChunkedVideoSource
 
@@ -334,8 +340,13 @@ def streaming_inference(
         (total + stream.chunk_duration - 1) // stream.chunk_duration
     )
 
+    i_start = 0
+    if resume_snapshot is not None:
+        session.restore(resume_snapshot)
+        i_start = session.engine.chunk_index
+
     if output_dir is not None:
-        if os.path.exists(output_dir):
+        if os.path.exists(output_dir) and i_start == 0:
             os.remove(output_dir)
         with open_vtt(output_dir):
             pass
@@ -352,7 +363,7 @@ def streaming_inference(
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=1)
-    pending = pool.submit(read_chunk, 0) if num_chunks else None
+    pending = pool.submit(read_chunk, i_start) if num_chunks > i_start else None
 
     from .utils.profiling import SectionTimer
 
@@ -376,7 +387,7 @@ def streaming_inference(
     # or use bench.py's per-chunk wall times.
     next_embeds = None
     next_video = None  # (patches, grid) already read for the NEXT chunk
-    for i in range(num_chunks):
+    for i in range(i_start, num_chunks):
         timer.reset()
         start_time = (i + skip_first_chunk) * stream.chunk_duration
 

@@ -175,6 +175,45 @@ def test_restore_rejects_mismatched_representation(params, vis_rounds):
         eng2.restore(snap)
 
 
+def test_streaming_inference_resume(params, tmp_path):
+    """streaming_inference(resume_snapshot=...) continues an interrupted run
+    of the same video: resumed responses equal the uninterrupted run's and
+    the VTT accumulates all cues (fault recovery for long streams)."""
+    from streaming_vlm_tpu.serve import StreamingSession, streaming_inference
+    from streaming_vlm_tpu.video import ingest
+
+    ingest.build_native()
+    clip = str(tmp_path / "clip.mp4")
+    ingest.write_test_video(clip, w=64, h=48, n_frames=80, fps=10)
+    scfg = _stream_cfg(prefill_buckets=(64, 128, 256), fps=2.0)
+    kw = dict(
+        cfg=CFG, params=params, tokenizer=FakeTokenizer(TOK), video_path=clip,
+        stream=scfg, duration=6.0, quiet=True, dtype=jnp.float32,
+    )
+    full = streaming_inference(output_dir=str(tmp_path / "full.vtt"), **kw)
+
+    # interrupted run: 3 chunks via the session API, snapshot, then hand the
+    # snapshot to streaming_inference for the remainder
+    from streaming_vlm_tpu.video.ingest import ChunkedVideoSource
+
+    sess = StreamingSession(
+        CFG, params, FakeTokenizer(TOK), stream=scfg, dtype=jnp.float32
+    )
+    src = ChunkedVideoSource(clip, fps=scfg.fps)
+    for i in range(3):
+        patches, grid, _ = src.read_chunk(i * 1.0, (i + 1) * 1.0)
+        sess.run_chunk(i, i * 1.0, pixel_patches=patches, grid_thw=grid)
+    snap = sess.snapshot()
+
+    tail = streaming_inference(
+        output_dir=str(tmp_path / "tail.vtt"), resume_snapshot=snap, **kw
+    )
+    assert [r["response"] for r in tail] == [
+        r["response"] for r in full[3:]
+    ]
+    assert [r["start_time"] for r in tail] == [3.0, 4.0, 5.0]
+
+
 def test_migrate_solo_to_lane_and_back(params, vis_rounds):
     """Full migration cycle: a solo stream snapshots into a multi-stream
     lane (joining a batched server mid-flight, next to a fresh client on
