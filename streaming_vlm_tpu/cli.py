@@ -20,12 +20,19 @@ import sys
 
 
 def load_model(model_path: str, dtype_name: str = "bfloat16"):
+    import os
+
     import jax.numpy as jnp
 
-    from .models.convert import load_hf_checkpoint
+    from .models.convert import load_hf_checkpoint, load_serving_checkpoint
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    cfg, params = load_hf_checkpoint(model_path, dtype)
+    if os.path.exists(os.path.join(model_path, "serving_config.json")):
+        # pre-converted serving checkpoint (`convert` command): one msgpack
+        # read, no safetensors parse, no quantization pass at startup
+        cfg, params, _quant = load_serving_checkpoint(model_path)
+    else:
+        cfg, params = load_hf_checkpoint(model_path, dtype)
     try:
         from transformers import AutoTokenizer
 
@@ -33,6 +40,43 @@ def load_model(model_path: str, dtype_name: str = "bfloat16"):
     except Exception as e:
         raise RuntimeError(f"cannot load tokenizer from {model_path}: {e}")
     return cfg, params, tokenizer, dtype
+
+
+def cmd_convert(argv):
+    """HF checkpoint -> serving checkpoint (one msgpack blob, pre-quantized
+    by default): `serve --model_path` then starts without the per-process
+    safetensors parse + quantization the reference pays (inference.py:70-85).
+    Tokenizer files are copied alongside so the output dir is self-contained."""
+    import glob as _glob
+    import shutil
+
+    p = argparse.ArgumentParser(prog="convert")
+    p.add_argument("--model_path", required=True, help="HF checkpoint dir")
+    p.add_argument("--out", required=True, help="serving checkpoint dir")
+    p.add_argument("--quant", default="int8", choices=["int8", "none"])
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--cpu", action="store_true",
+                   help="convert on host CPU (no accelerator needed)")
+    args = p.parse_args(argv)
+
+    import os
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from .models.convert import load_hf_checkpoint, save_serving_checkpoint
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    cfg, params = load_hf_checkpoint(args.model_path, dtype)
+    save_serving_checkpoint(args.out, cfg, params, quant=args.quant)
+    for pat in ("tokenizer*", "vocab.*", "merges.txt", "special_tokens_map.json",
+                "preprocessor_config.json", "chat_template.*"):
+        for f in _glob.glob(os.path.join(args.model_path, pat)):
+            shutil.copy(f, args.out)
+    print(f"serving checkpoint written to {args.out} (quant={args.quant})")
 
 
 def cmd_serve(argv):
@@ -402,6 +446,7 @@ def cmd_demo(argv):
 
 COMMANDS = {
     "serve": cmd_serve,
+    "convert": cmd_convert,
     "efficiency": cmd_efficiency,
     "soak": cmd_soak,
     "ovobench": cmd_ovobench,

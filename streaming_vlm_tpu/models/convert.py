@@ -214,3 +214,79 @@ def load_hf_checkpoint(model_dir: str, dtype=jnp.bfloat16):
     cfg = config_from_hf_dir(model_dir)
     sd = load_safetensors_state_dict(model_dir)
     return cfg, params_from_state_dict(cfg, sd, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Serving checkpoints: one-time HF -> (optionally pre-quantized) msgpack
+# ---------------------------------------------------------------------------
+
+
+def _tupled(d: Dict[str, Any]) -> Dict[str, Any]:
+    """JSON round-trip turns tuples into lists; dataclass fields that are
+    tuples (mrope_section, fullatt_block_indexes, previous_text) want them
+    back."""
+    return {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
+
+
+def save_serving_checkpoint(out_dir: str, cfg: ModelConfig, params, *,
+                            quant: str = "int8") -> None:
+    """One-time conversion to a fast-cold-start serving checkpoint: a config
+    JSON + one msgpack parameter blob, pre-quantized when quant="int8"
+    (the serving default, ops/quant.py W8A8 trees) so startup skips both
+    the multi-file safetensors read/convert and the quantization pass the
+    reference pays per process (from_pretrained at inference.py:70-85).
+    Typical use: load_hf_checkpoint(hf_dir) -> save_serving_checkpoint."""
+    import dataclasses
+
+    import jax
+    from flax import serialization
+
+    from ..ops.quant import quantize_model_params
+
+    if quant == "int8":
+        params = quantize_model_params(params)
+    elif quant != "none":
+        raise ValueError(f"quant must be 'int8' or 'none', got {quant!r}")
+    os.makedirs(out_dir, exist_ok=True)
+    meta = {
+        "format": 1,
+        "quant": quant,
+        "config": {
+            "name": cfg.name,
+            "dtype": cfg.dtype,
+            "vision": dataclasses.asdict(cfg.vision),
+            "text": dataclasses.asdict(cfg.text),
+            "tokens": dataclasses.asdict(cfg.tokens),
+        },
+    }
+    with open(os.path.join(out_dir, "serving_config.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    host = jax.tree_util.tree_map(np.asarray, params)
+    with open(os.path.join(out_dir, "params.msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(host))
+
+
+def load_serving_checkpoint(out_dir: str):
+    """Load (cfg, params, quant) saved by save_serving_checkpoint. Params
+    come back as device arrays in their stored dtypes (int8 {q,s} trees for
+    a quantized checkpoint — mm() dispatches on the representation)."""
+    import jax
+    from flax import serialization
+
+    from ..config import SpecialTokens, TextConfig, VisionConfig
+
+    with open(os.path.join(out_dir, "serving_config.json")) as f:
+        meta = json.load(f)
+    assert meta["format"] == 1, meta["format"]
+    c = meta["config"]
+    cfg = ModelConfig(
+        name=c["name"],
+        dtype=c["dtype"],
+        vision=VisionConfig(**_tupled(c["vision"])),
+        text=TextConfig(**_tupled(c["text"])),
+        tokens=SpecialTokens(**_tupled(c["tokens"])),
+    )
+    with open(os.path.join(out_dir, "params.msgpack"), "rb") as f:
+        host = serialization.msgpack_restore(f.read())
+    params = jax.tree_util.tree_map(jnp.asarray, host)
+    return cfg, params, meta["quant"]

@@ -227,6 +227,51 @@ def test_qwen2_vl_multimodal_parity():
     np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=2e-3)
 
 
+def test_serving_checkpoint_roundtrip(hf_model, jax_params, tmp_path):
+    """save_serving_checkpoint/load_serving_checkpoint: the pre-converted
+    msgpack path reproduces the exact parameter tree (unquantized) or the
+    exact quantize_model_params tree (int8), and its forward matches."""
+    import jax
+
+    from streaming_vlm_tpu.models.convert import (
+        load_serving_checkpoint,
+        save_serving_checkpoint,
+    )
+    from streaming_vlm_tpu.models.qwen25_vl import model as m
+    from streaming_vlm_tpu.ops.quant import quantize_model_params
+
+    ids = np.arange(24) % 900 + 30
+    base = np.asarray(m.forward_full(CFG, jax_params, ids))
+
+    d_none = str(tmp_path / "srv_none")
+    save_serving_checkpoint(d_none, CFG, jax_params, quant="none")
+    cfg2, p2, q2 = load_serving_checkpoint(d_none)
+    assert q2 == "none" and cfg2.text == CFG.text and cfg2.vision == CFG.vision
+    flat1, t1 = jax.tree_util.tree_flatten_with_path(jax_params)
+    flat2, t2 = jax.tree_util.tree_flatten_with_path(p2)
+    assert t1 == t2
+    for (k1, a1), (k2, a2) in zip(flat1, flat2):
+        assert k1 == k2 and a1.dtype == a2.dtype
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(m.forward_full(cfg2, p2, ids)), base)
+
+    d_int8 = str(tmp_path / "srv_int8")
+    save_serving_checkpoint(d_int8, CFG, jax_params, quant="int8")
+    cfg3, p3, q3 = load_serving_checkpoint(d_int8)
+    assert q3 == "int8"
+    ref_q = quantize_model_params(jax_params)
+    flatq, tq = jax.tree_util.tree_flatten_with_path(ref_q)
+    flat3, t3 = jax.tree_util.tree_flatten_with_path(p3)
+    assert tq == t3
+    for (k1, a1), (k2, a2) in zip(flatq, flat3):
+        assert k1 == k2 and a1.dtype == a2.dtype
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(
+        np.asarray(m.forward_full(cfg3, p3, ids)),
+        np.asarray(m.forward_full(CFG, ref_q, ids)),
+    )
+
+
 def test_load_hf_checkpoint_from_disk(hf_model, jax_params, tmp_path):
     """The safetensors-on-disk path (reference inference.py:70-85): save the
     tiny HF model with save_pretrained, then load_hf_checkpoint must rebuild
