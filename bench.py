@@ -345,9 +345,17 @@ def run_multistream(args):
         params = random_quantized_model_params(cfg, jax.random.PRNGKey(0))
     else:
         params = model.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    mesh = None
+    if args.tp > 1:
+        # TP-sharded lanes: the v5e-8 deployment shape (N streams x TP-M);
+        # CPU-smoke-able via --model tiny --tp 2 --streams 2
+        from streaming_vlm_tpu.parallel.mesh import make_mesh, shard_params
+
+        mesh = make_mesh({"data": 1, "model": args.tp})
+        params, _ = shard_params(params, mesh)
     params = jax.tree.map(jax.block_until_ready, params)
 
-    ms = MultiStreamEngine(cfg, params, stream, sampling, B, dtype=dtype)
+    ms = MultiStreamEngine(cfg, params, stream, sampling, B, dtype=dtype, mesh=mesh)
 
     vcfg = cfg.vision
     frame_h, frame_w = grid[1] * vcfg.patch_size, grid[2] * vcfg.patch_size
@@ -418,12 +426,14 @@ def run_multistream(args):
     med = float(np.median(steady))
     aggregate_fps = B * fps * chunk_duration / med
     print(json.dumps({
-        "metric": f"streaming_ingest_fps_{args.model}_streams{B}",
+        "metric": f"streaming_ingest_fps_{args.model}_streams{B}"
+        + (f"_tp{args.tp}" if args.tp > 1 else ""),
         "value": round(aggregate_fps, 3),
         "unit": "frames/sec (aggregate)",
         "vs_baseline": round(aggregate_fps / 8.0, 3),
         "checks": {
             "streams": B,
+            "tp": args.tp,
             "round_ms_p50": round(med * 1000, 1),
             "realtime_per_stream": med <= chunk_duration,
             "max_over_p50": round(float(np.max(times) / med), 3),

@@ -123,24 +123,37 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     return jax.device_put(params, shardings), shardings
 
 
-def arena_sharding(mesh: Mesh, kv_heads: int) -> NamedSharding:
-    """Sharding for the streaming KV arena [L, C, Hkv, hd]: split KV heads
-    over the 'model' axis (each device holds its attention heads' cache —
-    the multi-chip streaming-cache layout; 7B: 4 kv heads on a model=4
-    mesh axis). Falls back to replication when Hkv doesn't divide."""
+def arena_sharding(mesh: Mesh, kv_heads: int, *, batched: bool = False) -> NamedSharding:
+    """Sharding for the streaming KV arena [L, C, Hkv, hd] (or the
+    multi-stream stacked [B, L, C, Hkv, hd] with batched=True): split KV
+    heads over the 'model' axis (each device holds its attention heads'
+    cache — the multi-chip streaming-cache layout; 7B: 4 kv heads on a
+    model=4 mesh axis). Falls back to replication when Hkv doesn't divide."""
     m = int(mesh.shape.get("model", 1))
     if m > 1 and kv_heads % m == 0:
-        return NamedSharding(mesh, P(None, None, "model", None))
+        spec = (None,) * (3 if batched else 2) + ("model", None)
+        return NamedSharding(mesh, P(*spec))
     return NamedSharding(mesh, P())
 
 
-def arena_sharding_tree(mesh: Mesh, kv_heads: int, arena: Any) -> Any:
+def arena_sharding_tree(
+    mesh: Mesh, kv_heads: int, arena: Any, *, batched: bool = False
+) -> Any:
     """arena_sharding generalised to either arena representation: a plain
-    [L, C, Hkv, hd] array, or the int8 {"q": [L, C, Hkv, hd], "s":
-    [L, C, Hkv]} pytree (StreamConfig.kv_quant) — the scales shard over the
-    same KV-head axis so dequantization stays device-local."""
-    sh = arena_sharding(mesh, kv_heads)
+    [(B,) L, C, Hkv, hd] array, or the int8 {"q": [(B,) L, C, Hkv, hd],
+    "s": [(B,) L, C, Hkv]} pytree (StreamConfig.kv_quant) — the scales
+    shard over the same KV-head axis so dequantization stays device-local."""
+    sh = arena_sharding(mesh, kv_heads, batched=batched)
     if not isinstance(arena, dict):
         return sh
-    s_spec = P(*tuple(sh.spec)[:3]) if tuple(sh.spec) else P()
+    s_spec = P(*tuple(sh.spec)[:-1]) if tuple(sh.spec) else P()
     return {"q": sh, "s": NamedSharding(mesh, s_spec)}
+
+
+def arena_shard_factor(mesh, kv_heads: int) -> int:
+    """How many ways the arena's bytes split across devices (1 = replicated).
+    Used by the HBM budget guards to reason per-chip."""
+    if mesh is None:
+        return 1
+    m = int(mesh.shape.get("model", 1))
+    return m if (m > 1 and kv_heads % m == 0) else 1

@@ -464,6 +464,7 @@ class StreamingEngine:
         self.sampling = sampling
         self.dtype = dtype
         self.table = SegmentTable(all_text=stream.all_text)
+        self._mesh = mesh
         C = stream.kv_capacity
         if allocate_arena:
             self._check_hbm_budget()
@@ -525,6 +526,16 @@ class StreamingEngine:
             for x in jax.tree_util.tree_leaves(self.params)
             if hasattr(x, "size")
         )
+        # TP mesh: the budget is PER CHIP — the arena splits over kv heads
+        # (arena_sharding) and weight bytes split over the model axis (the
+        # TP rules shard every large matrix; treating params as fully split
+        # is the same ~10%-headroom-level approximation as the transients)
+        if self._mesh is not None:
+            from ..parallel.mesh import arena_shard_factor
+
+            f = arena_shard_factor(self._mesh, t.num_key_value_heads)
+            arena, rot = arena // f, rot // f
+            par //= int(self._mesh.shape.get("model", 1))
         budget = int(os.environ.get("SVT_HBM_BYTES", 0))
         if not budget:
             try:

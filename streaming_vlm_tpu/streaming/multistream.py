@@ -68,6 +68,8 @@ class MultiStreamEngine:
         sampling: SamplingConfig,
         n_streams: int,
         dtype=jnp.bfloat16,
+        mesh=None,  # jax.sharding.Mesh: TP-sharded lanes (7B x N on v5e-8;
+        # pass params already shard_params'd over the same mesh)
     ):
         assert n_streams >= 1
         self.cfg = cfg
@@ -76,6 +78,7 @@ class MultiStreamEngine:
         self.sampling = sampling
         self.dtype = dtype
         self.n = n_streams
+        self._mesh = mesh
         self.engines = [
             StreamingEngine(
                 cfg, params, stream, sampling, dtype=dtype, allocate_arena=False
@@ -97,6 +100,17 @@ class MultiStreamEngine:
         else:
             self.k_arena = jnp.zeros(shape, dtype)
             self.v_arena = jnp.zeros(shape, dtype)
+        if mesh is not None:
+            # each device keeps every lane's cache for the kv heads it owns:
+            # the batched step's gathers/merges stay device-local, exactly the
+            # single-stream TP layout with a leading lane axis
+            from ..parallel.mesh import arena_sharding_tree
+
+            sh = arena_sharding_tree(
+                mesh, t.num_key_value_heads, self.k_arena, batched=True
+            )
+            self.k_arena = jax.device_put(self.k_arena, sh)
+            self.v_arena = jax.device_put(self.v_arena, sh)
         self.ids_arena = jnp.zeros((n_streams, C), jnp.int32)
         self._ident_src = np.arange(C, dtype=np.int32)
         self.rngs = jax.random.split(jax.random.PRNGKey(sampling.seed), n_streams)
@@ -127,6 +141,14 @@ class MultiStreamEngine:
             for x in jax.tree_util.tree_leaves(self.params)
             if hasattr(x, "size")
         )
+        # TP mesh: per-chip budget (same approximation as the single-stream
+        # guard — arena splits over kv heads, weight bytes over 'model')
+        if self._mesh is not None:
+            from ..parallel.mesh import arena_shard_factor
+
+            f = arena_shard_factor(self._mesh, t.num_key_value_heads)
+            arena, rot = arena // f, rot // f
+            par //= int(self._mesh.shape.get("model", 1))
         budget = int(os.environ.get("SVT_HBM_BYTES", 0))
         if not budget:
             try:

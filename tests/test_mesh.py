@@ -152,6 +152,81 @@ def test_7b_sharded_int8_kv_arena_streaming():
     assert out == ref
 
 
+def test_7b_sharded_multistream_lanes_match_sharded_solo():
+    """Multi-stream lanes over a TP mesh (the v5e-8 deployment shape: N
+    concurrent 7B streams sharing TP-sharded weights, stacked arena split
+    over kv heads with a leading lane axis): batched rounds == solo
+    TP-sharded engines bitwise, evictions included."""
+    import dataclasses
+
+    from streaming_vlm_tpu.streaming.multistream import MultiStreamEngine
+
+    cfg = _7b_geometry_cfg()
+    params = model.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    mesh = make_mesh({"data": 2, "model": 4})
+    sharded, _ = shard_params(params, mesh)
+    stream = StreamConfig(
+        text_round=2, window_size=2, chunk_duration=1,
+        text_sink=4, text_sliding_window=3, max_tokens_per_chunk=4,
+        kv_capacity=1024, prefill_buckets=(64, 128, 256),
+    )
+    greedy = SamplingConfig(do_sample=False)
+    n_rounds, n_vis = 4, 4
+    rng = np.random.default_rng(9)
+    D = cfg.text.hidden_size
+    ve = rng.normal(size=(n_rounds, 2, n_vis, D)).astype(np.float32) * 0.1
+
+    def solo(b):
+        eng = StreamingEngine(
+            cfg, sharded, stream, greedy, dtype=jnp.float32, mesh=mesh
+        )
+        builder = PromptBuilder(cfg.tokens, FakeTokenizer(cfg.tokens))
+        _, eb = builder.measure_biases()
+        gens = []
+        for i in range(n_rounds):
+            segs = _lane_segs(builder, i, b)
+            g, _ = eng.process_chunk(
+                segs, grid_thw=GRID, vis_embeds=jnp.asarray(ve[i, b])
+            )
+            eng.commit_assistant(g, eb, i)
+            gens.append(g.tolist())
+        return gens
+
+    def _lane_segs(builder, i, b):
+        segs = []
+        if i == 0:
+            segs.append(builder.system_segment())
+            segs.extend(builder.previous_text_segments(f"ctx {b}"))
+            segs.extend(
+                builder.user_turn_segments(0, 0.0, 1.0, n_vis, GRID, 1.0, query="q")
+            )
+        else:
+            segs.extend(
+                builder.user_turn_segments(i, float(i), float(i + 1), n_vis, GRID, 1.0)
+            )
+        segs.extend(builder.assistant_open_segments(i))
+        return segs
+
+    ref = [solo(0), solo(1)]
+
+    ms = MultiStreamEngine(
+        cfg, sharded, stream, greedy, n_streams=2, dtype=jnp.float32, mesh=mesh
+    )
+    # stacked arena really is head-sharded: each device holds Hkv/m heads
+    shard_shape = ms.k_arena.sharding.shard_shape(ms.k_arena.shape)
+    assert shard_shape[3] == cfg.text.num_key_value_heads // 4
+    builders = [PromptBuilder(cfg.tokens, FakeTokenizer(cfg.tokens)) for _ in range(2)]
+    _, eb = builders[0].measure_biases()
+    for i in range(n_rounds):
+        segs = [_lane_segs(builders[b], i, b) for b in range(2)]
+        outs = ms.process_round(
+            segs, vis_embeds=np.stack([ve[i, 0], ve[i, 1]]), grid_thw=GRID
+        )
+        for b, (gen, _) in enumerate(outs):
+            assert gen.tolist() == ref[b][i], (b, i)
+            ms.engines[b].commit_assistant(gen, eb, i)
+
+
 def test_multislice_dcn_mesh_training_step():
     """Multi-slice layout: ('dcn','data','model') mesh — params replicate
     across slices, batch shards over (dcn, data), and one training step

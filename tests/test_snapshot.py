@@ -94,24 +94,31 @@ def _fresh(params, scfg, sampling=None):
 
 
 @pytest.mark.parametrize(
-    "kv_quant,pos_mode",
-    [("none", "shrink"), ("none", "append"), ("int8", "shrink")],
+    "kv_quant,pos_mode,cut",
+    [
+        ("none", "shrink", 1),  # pre-eviction cut (table still growing)
+        ("none", "shrink", 3),  # cut exactly when relocation begins
+        ("none", "shrink", 5),  # steady-eviction cut
+        ("none", "append", 3),
+        ("int8", "shrink", 3),
+    ],
 )
-def test_restore_continues_bitwise(params, vis_rounds, kv_quant, pos_mode):
-    """snapshot at chunk N_CUT, restore into a FRESH engine, continue: the
+def test_restore_continues_bitwise(params, vis_rounds, kv_quant, pos_mode, cut):
+    """snapshot at chunk `cut`, restore into a FRESH engine, continue: the
     tail equals the uninterrupted stream's exactly (arena prefix + table +
-    positions + accounting all survive)."""
+    positions + accounting all survive) — at pre-eviction, eviction-onset
+    and steady-eviction cut points."""
     scfg = _stream_cfg(kv_quant=kv_quant, pos_mode=pos_mode)
     eng, builder, eb = _fresh(params, scfg)
-    head = _drive(eng, builder, eb, 0, N_CUT, vis_rounds)
+    head = _drive(eng, builder, eb, 0, cut, vis_rounds)
     snap = eng.snapshot()
-    ref_tail = _drive(eng, builder, eb, N_CUT, N_TOTAL, vis_rounds)
+    ref_tail = _drive(eng, builder, eb, cut, N_TOTAL, vis_rounds)
 
     eng2, builder2, eb2 = _fresh(params, scfg)
     eng2.restore(snap)
-    assert eng2.chunk_index == N_CUT
+    assert eng2.chunk_index == cut
     assert eng2.cached + eng2.uncached_tail == eng2.table.total_len()
-    tail = _drive(eng2, builder2, eb2, N_CUT, N_TOTAL, vis_rounds)
+    tail = _drive(eng2, builder2, eb2, cut, N_TOTAL, vis_rounds)
     assert tail == ref_tail
     assert head  # stream produced something before the cut
 
