@@ -611,7 +611,10 @@ class StreamingEngine:
         ids = jnp.zeros((self.stream.kv_capacity,), jnp.int32)
         if n:
             ids = ids.at[:n].set(jnp.asarray(snap["ids"], jnp.int32))
-        self.ids_arena = jax.device_put(ids, self.ids_arena.sharding)
+        # ids stay UNcommitted (like the constructor's zeros): under a TP
+        # mesh the arena is committed-sharded while small operands must stay
+        # free for jit to replicate
+        self.ids_arena = ids
         self.k_arena = _write_slots(self.k_arena, snap["k"], n)
         self.v_arena = _write_slots(self.v_arena, snap["v"], n)
 

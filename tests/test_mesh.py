@@ -227,6 +227,79 @@ def test_7b_sharded_multistream_lanes_match_sharded_solo():
             ms.engines[b].commit_assistant(gen, eb, i)
 
 
+def test_snapshot_migrates_across_topologies():
+    """A live stream snapshotted on a single device restores onto a TP mesh
+    (and back): scale-up/scale-down migration mid-flight. Continuations are
+    bitwise the single-device stream's."""
+    cfg = _7b_geometry_cfg()
+    params = model.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    mesh = make_mesh({"data": 2, "model": 4})
+    sharded, _ = shard_params(params, mesh)
+    stream = StreamConfig(
+        text_round=2, window_size=2, chunk_duration=1,
+        text_sink=4, text_sliding_window=3, max_tokens_per_chunk=4,
+        kv_capacity=1024, prefill_buckets=(64, 128, 256),
+    )
+    greedy = SamplingConfig(do_sample=False)
+
+    def fresh(mesh_=None):
+        eng = StreamingEngine(
+            cfg, sharded if mesh_ is not None else params, stream, greedy,
+            dtype=jnp.float32, mesh=mesh_,
+        )
+        builder = PromptBuilder(cfg.tokens, FakeTokenizer(cfg.tokens))
+        _, eb = builder.measure_biases()
+        return eng, builder, eb
+
+    rng = np.random.default_rng(4)
+    patch_dim = (
+        cfg.vision.in_channels
+        * cfg.vision.temporal_patch_size
+        * cfg.vision.patch_size**2
+    )
+    pix = [
+        rng.normal(size=(16, patch_dim)).astype(np.float32) * 0.1 for _ in range(5)
+    ]
+
+    def drive(eng, builder, eb, i0, i1):
+        gens = []
+        for i in range(i0, i1):
+            segs = []
+            if i == 0:
+                segs.append(builder.system_segment())
+                segs.extend(builder.previous_text_segments("ctx"))
+                segs.extend(
+                    builder.user_turn_segments(0, 0.0, 1.0, 4, GRID, 1.0, query="q")
+                )
+            else:
+                segs.extend(
+                    builder.user_turn_segments(i, float(i), float(i + 1), 4, GRID, 1.0)
+                )
+            segs.extend(builder.assistant_open_segments(i))
+            g, _ = eng.process_chunk(segs, pix[i], GRID)
+            eng.commit_assistant(g, eb, i)
+            gens.append(g.tolist())
+        return gens
+
+    # control: single-device, uninterrupted
+    e0, b0, eb = fresh(None)
+    ctrl = drive(e0, b0, eb, 0, 5)
+
+    # subject: single-device chunks 0-1, migrate UP onto the TP mesh for
+    # chunks 2-3, then back DOWN to a single device for chunk 4
+    e1, b1, _ = fresh(None)
+    drive(e1, b1, eb, 0, 2)
+    up = fresh(mesh)[0]
+    up.restore(e1.snapshot())
+    b_up = PromptBuilder(cfg.tokens, FakeTokenizer(cfg.tokens))
+    mid = drive(up, b_up, eb, 2, 4)
+    assert mid == ctrl[2:4]
+    down = fresh(None)[0]
+    down.restore(up.snapshot())
+    b_dn = PromptBuilder(cfg.tokens, FakeTokenizer(cfg.tokens))
+    assert drive(down, b_dn, eb, 4, 5) == ctrl[4:5]
+
+
 def test_multislice_dcn_mesh_training_step():
     """Multi-slice layout: ('dcn','data','model') mesh — params replicate
     across slices, batch shards over (dcn, data), and one training step
