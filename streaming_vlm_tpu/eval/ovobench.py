@@ -153,7 +153,11 @@ def evaluate_ovobench(
     video: Optional[VideoConfig] = None,
 ) -> List[dict]:
     """Run MCQ prediction over the formatted jsonl; returns result dicts with
-    per-item response/answer. Resume: items already in out_path are skipped."""
+    per-item response/answer. Resume: items already in out_path are skipped.
+
+    Per-question loop because smart_resize gives each video its own grid;
+    for suites with a shared frame geometry, mcq.mcq_predict_batch scores B
+    questions in one dispatch (exact-match-tested vs this path)."""
     from ..video.ingest import ChunkedVideoSource, select_chunk_frames, patchify_frames
 
     video_cfg = video or VideoConfig(fps=fps)

@@ -90,6 +90,61 @@ def test_infstream_generate_resume_score(video_path, params, tmp_path):
     assert summary["total_windows"] == 2
 
 
+def test_mcq_predict_batch_matches_one(params):
+    """Batched MCQ scoring (one dispatch for B questions, the TPU answer to
+    the reference's 8-GPU eval fan-out) == mcq_predict_one per element —
+    mixed prompt lengths (right-pad), with and without per-question video."""
+    from streaming_vlm_tpu.eval.mcq import mcq_predict_batch, mcq_predict_one
+
+    grid = (1, 4, 4)
+    n_vis = int(np.prod(grid)) // CFG.vision.spatial_merge_unit
+    patch_dim = (
+        CFG.vision.in_channels
+        * CFG.vision.temporal_patch_size
+        * CFG.vision.patch_size**2
+    )
+    rng = np.random.default_rng(12)
+    questions = [
+        "Is the ball red or blue or green?",
+        "Short q?",
+        "Which of the following describes the scene best given everything "
+        "that happened so far in this very long question string?",
+    ]
+    opt_ids = option_token_ids(FTOK, ["A", "B", "C", "D"])
+    ids_list = [
+        build_mcq_prompt_ids(CFG, FTOK, q, n_vis) for q in questions
+    ]
+    assert len({len(i) for i in ids_list}) > 1  # genuinely mixed lengths
+
+    # text-only prompts (no video region at all)
+    ids_text = [build_mcq_prompt_ids(CFG, FTOK, q, 0) for q in questions]
+    solo = [
+        mcq_predict_one(CFG, params, ids, opt_ids) for ids in ids_text
+    ]
+    got = mcq_predict_batch(
+        CFG, params, ids_text, [opt_ids] * len(ids_text)
+    )
+    assert got == solo
+
+    # with per-question video through the vmapped tower
+    patches = rng.normal(size=(len(ids_list), int(np.prod(grid)), patch_dim))
+    patches = (patches * 0.1).astype(np.float32)
+    solo_v = [
+        mcq_predict_one(
+            CFG, params, ids, opt_ids,
+            pixel_patches=patches[b], video_grid_thw=np.asarray([grid]),
+            second_per_grid_ts=np.asarray([1.0], np.float32),
+        )
+        for b, ids in enumerate(ids_list)
+    ]
+    got_v = mcq_predict_batch(
+        CFG, params, ids_list, [opt_ids] * len(ids_list),
+        pixel_patches=patches, video_grid_thw=grid,
+        second_per_grid_ts=[1.0] * len(ids_list),
+    )
+    assert got_v == solo_v
+
+
 def test_ovobench_reformat_and_mcq(video_path, params, tmp_path):
     raw = [
         {"id": 1, "task": "CRR", "question": "Is it red?", "ask_time": 0,
