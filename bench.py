@@ -497,6 +497,10 @@ def run_ab(args):
     ]
     if args.tp > 1:
         base_cmd += ["--tp", str(args.tp)]
+    if args.streams > 1:
+        base_cmd += ["--streams", str(args.streams)]
+    if args.vision != "frames":
+        base_cmd += ["--vision", args.vision]
     results = {"a": [], "b": []}
     for phase in ("a", "b", "b", "a"):
         env = dict(os.environ)
