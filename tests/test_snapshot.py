@@ -159,6 +159,48 @@ def test_file_roundtrip(params, vis_rounds, tmp_path, kv_quant):
     assert tail == ref_tail
 
 
+def test_restore_in_fresh_process(params, vis_rounds, tmp_path):
+    """The real migration claim: a snapshot .npz written here restores in a
+    SEPARATE python process (own jax runtime, weights rebuilt from the same
+    seed) and produces the exact continuation."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    eng, builder, eb = _fresh(params, _stream_cfg())
+    _drive(eng, builder, eb, 0, N_CUT, vis_rounds)
+    snap_path = str(tmp_path / "stream.npz")
+    save_snapshot(eng.snapshot(), snap_path)
+    ref_tail = _drive(eng, builder, eb, N_CUT, N_TOTAL, vis_rounds)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    vis_path = str(tmp_path / "vis.npy")
+    np.save(vis_path, np.asarray(vis_rounds))
+    script = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import json, sys
+sys.path.insert(0, {repr(repo)})
+import numpy as np, jax.numpy as jnp
+from tests.test_snapshot import _fresh, _drive, _stream_cfg, N_CUT, N_TOTAL, CFG
+from streaming_vlm_tpu.models.qwen25_vl import model
+from streaming_vlm_tpu.streaming.snapshot import load_snapshot
+params = model.init_params(CFG, jax.random.PRNGKey(11), dtype=jnp.float32)
+eng, builder, eb = _fresh(params, _stream_cfg())
+eng.restore(load_snapshot({repr(snap_path)}))
+vis = np.load({repr(vis_path)})
+tail = _drive(eng, builder, eb, N_CUT, N_TOTAL, vis)
+print("TAIL=" + json.dumps(tail))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=900, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("TAIL=")][0]
+    assert json.loads(line[5:]) == ref_tail
+
+
 def test_restore_into_larger_capacity(params, vis_rounds):
     """A snapshot restores into an engine with a DIFFERENT (larger)
     kv_capacity — migration to a bigger-memory chip."""
