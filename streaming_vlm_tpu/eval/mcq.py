@@ -10,7 +10,6 @@ reference's torchrun gather becomes shard-and-merge files)."""
 
 from __future__ import annotations
 
-import json
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig, SamplingConfig, StreamConfig
-from ..models.qwen25_vl import language, model
+from ..models.qwen25_vl import model
 from .engine import (
     ChunkHandle,
     ChunkStatics,

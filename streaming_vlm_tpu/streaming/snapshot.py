@@ -37,7 +37,6 @@ geometry is validated on restore.
 
 from __future__ import annotations
 
-import io
 import json
 from typing import Any, Dict, List
 
