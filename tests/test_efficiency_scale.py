@@ -94,11 +94,14 @@ def test_hbm_budget_guard_names_the_fix(monkeypatch):
 
 
 @pytest.mark.slow
-def test_full_attention_config_a_200s(tmp_path):
+@pytest.mark.parametrize("kv_quant", ["none", "int8"])
+def test_full_attention_config_a_200s(tmp_path, kv_quant):
     """Config (a) — full attention, no eviction — end-to-end for 200 s of
     video: the descriptor table grows past the 256-seg bucket (searchsorted
     lowering), KV grows monotonically without hitting capacity, and the
-    per-chunk JSON schema is produced for every chunk."""
+    per-chunk JSON schema is produced for every chunk. The int8 variant
+    runs the ablation on the quantized arena — kv_quant's stated use case
+    (the stream-length arena is config (a)'s binding HBM constraint)."""
     from streaming_vlm_tpu.eval.efficiency import run_efficiency
     from streaming_vlm_tpu.video import ingest
 
@@ -120,6 +123,7 @@ def test_full_attention_config_a_200s(tmp_path):
             kv_capacity=16384,
             prefill_buckets=(64, 128),
             max_tokens_per_chunk=4,
+            kv_quant=kv_quant,
         ),
         video=VideoConfig(
             fps=2.0, video_min_pixels=28 * 28, video_max_pixels=16 * 28 * 28
