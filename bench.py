@@ -459,8 +459,16 @@ def pallas_check(cfg, stream, engine):
     q_chk = jax.random.normal(ks_[0], (T_chk, t.num_attention_heads, t.head_dim), jnp.bfloat16) * 0.3
     ks_chk = jax.random.normal(ks_[1], (T_chk, t.num_key_value_heads, t.head_dim), jnp.bfloat16) * 0.3
     vs_chk = jax.random.normal(ks_[2], (T_chk, t.num_key_value_heads, t.head_dim), jnp.bfloat16) * 0.3
-    ka_chk = engine.k_arena[0]
-    va_chk = engine.v_arena[0]
+    # int8 arenas ({"q","s"} pytrees, SVT_KV_QUANT=int8) dequantize to the
+    # same [L, C, Hkv, hd] values the kernel would see after _deq_layer
+    from streaming_vlm_tpu.ops.quant import dequantize_kv, is_kv_quantized
+
+    ka_all, va_all = engine.k_arena, engine.v_arena
+    if is_kv_quantized(ka_all):
+        ka_all = dequantize_kv(ka_all, jnp.bfloat16)
+        va_all = dequantize_kv(va_all, jnp.bfloat16)
+    ka_chk = ka_all[0]
+    va_chk = va_all[0]
     ang = jnp.arange(C, dtype=jnp.float32)[:, None] / (
         t.rope_theta ** (jnp.arange(0, t.head_dim, 2, jnp.float32) / t.head_dim)
     )

@@ -30,7 +30,18 @@ def load_model(model_path: str, dtype_name: str = "bfloat16"):
     if os.path.exists(os.path.join(model_path, "serving_config.json")):
         # pre-converted serving checkpoint (`convert` command): one msgpack
         # read, no safetensors parse, no quantization pass at startup
-        cfg, params, _quant = load_serving_checkpoint(model_path)
+        cfg, params, quant = load_serving_checkpoint(model_path)
+        if quant == "none":
+            # honour the requested dtype like the HF-dir path does (a bf16
+            # checkpoint under --dtype float32 must not silently stay bf16)
+            import jax
+
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                params,
+            )
     else:
         cfg, params = load_hf_checkpoint(model_path, dtype)
     try:
@@ -193,9 +204,12 @@ def cmd_soak(argv):
         params = m.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
         dtype = jnp.bfloat16
     if args.quantize == "int8":
-        from .ops.quant import quantize_model_params
+        from .ops.quant import is_model_quantized, quantize_model_params
 
-        params = quantize_model_params(params, donate=True)
+        # pre-quantized serving checkpoints (convert command) load already
+        # quantized — a second pass would crash on the {q,s} leaves
+        if not is_model_quantized(params):
+            params = quantize_model_params(params, donate=True)
     stream = StreamConfig(kv_capacity=args.kv_capacity, prefill_buckets=(640, 1024))
     report = run_soak(
         cfg=cfg,
@@ -419,9 +433,12 @@ def cmd_demo(argv):
 
     cfg, params, tokenizer, dtype = load_model(args.model_path)
     if args.quantize == "int8":
-        from .ops.quant import quantize_model_params
+        from .ops.quant import is_model_quantized, quantize_model_params
 
-        params = quantize_model_params(params, donate=True)
+        # pre-quantized serving checkpoints (convert command) load already
+        # quantized — a second pass would crash on the {q,s} leaves
+        if not is_model_quantized(params):
+            params = quantize_model_params(params, donate=True)
 
     collected = []
 

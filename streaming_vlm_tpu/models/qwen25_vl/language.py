@@ -493,12 +493,17 @@ def lm_logits(cfg: TextConfig, params: Params, hidden: jnp.ndarray) -> jnp.ndarr
 
 
 def init_kv_arena(
-    cfg: TextConfig, capacity: int, dtype=jnp.bfloat16, quant: str = "none"
+    cfg: TextConfig, capacity: int, dtype=jnp.bfloat16, quant: str = "none",
+    lead_dims: Tuple[int, ...] = (),
 ):
-    """Allocate the [L, C, Hkv, hd] K/V arenas. quant="int8" stores each as a
-    {"q": int8, "s": f32 [L, C, Hkv]} pytree (ops/quant.py quantize_kv) —
-    half the HBM; every consumer dequantizes per layer inside its scan."""
-    shape = (cfg.num_hidden_layers, capacity, cfg.num_key_value_heads, cfg.head_dim)
+    """Allocate the [L, C, Hkv, hd] K/V arenas (lead_dims prepends axes —
+    the multi-stream engine's stacked [B, ...] lanes). quant="int8" stores
+    each as a {"q": int8, "s": f32 [..., Hkv]} pytree (ops/quant.py
+    quantize_kv) — half the HBM; every consumer dequantizes per layer
+    inside its scan."""
+    shape = lead_dims + (
+        cfg.num_hidden_layers, capacity, cfg.num_key_value_heads, cfg.head_dim
+    )
     if quant == "int8":
         from ...ops.quant import quantize_kv
 

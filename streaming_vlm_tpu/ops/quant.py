@@ -177,6 +177,26 @@ def is_qtensor(w) -> bool:
     return isinstance(w, dict) and ("q" in w or "q4" in w) and "s" in w
 
 
+def is_model_quantized(params) -> bool:
+    """True when a full VLM parameter tree already holds QTensor leaves
+    (e.g. a pre-quantized serving checkpoint, models/convert.py) — callers
+    that quantize on load must skip their own pass."""
+    found = []
+
+    def walk(node):
+        if is_qtensor(node):
+            found.append(True)
+        elif isinstance(node, dict):
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(params)
+    return bool(found)
+
+
 # ---------------------------------------------------------------------------
 # KV-cache quantization (int8 arena)
 # ---------------------------------------------------------------------------

@@ -90,9 +90,15 @@ class StreamingSession:
         `session.restore(snap)` and continue at `session.engine.chunk_index`.
         The n-gram draft's statistics are not snapshotted (they affect
         spec-decode speed, never tokens)."""
+        assert not self.recompute, (
+            "snapshot does not capture recompute mode's per-window pixel "
+            "buffer (_recent_videos) — a restored recompute stream could "
+            "not rebuild the surviving window's embeddings"
+        )
         return self.engine.snapshot()
 
     def restore(self, snap) -> None:
+        assert not self.recompute, "see snapshot(): recompute not supported"
         self.engine.restore(snap)
 
     def _decode_text(self, ids: np.ndarray) -> str:

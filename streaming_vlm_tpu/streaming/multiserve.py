@@ -78,9 +78,6 @@ class StreamClient:
         not-yet-processed submits are NOT part of the snapshot — drain
         results first."""
         assert not self.closed, "client closed"
-        assert self._pending.empty(), (
-            "snapshot with submitted chunks still pending; drain get() first"
-        )
         return self._server._snapshot(self)
 
     def close(self) -> None:
@@ -139,6 +136,14 @@ class MultiStreamServer:
 
     def _snapshot(self, client: StreamClient) -> Dict[str, Any]:
         with self._lock:
+            # checked INSIDE the lock: with the background round thread, a
+            # just-submitted chunk could otherwise be mid-round (popped from
+            # _pending) and land in the snapshot while its result is never
+            # drained — replaying it after migration would duplicate a turn
+            assert client._pending.empty() and client._results.empty(), (
+                "snapshot with submitted chunks pending or results undrained;"
+                " drain get() first"
+            )
             return self.engine.snapshot_lane(client.lane)
 
     def _detach(self, client: StreamClient) -> None:

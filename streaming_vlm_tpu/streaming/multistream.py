@@ -88,18 +88,13 @@ class MultiStreamEngine:
         self._check_hbm_budget()
         t = cfg.text
         C = stream.kv_capacity
-        shape = (n_streams, t.num_hidden_layers, C, t.num_key_value_heads, t.head_dim)
-        if stream.kv_quant == "int8":
-            # int8 lanes: the arena is the marginal HBM cost per stream, so
-            # halving it is what raises the max lane count on one chip
-            from ..ops.quant import quantize_kv
+        # int8 lanes: the arena is the marginal HBM cost per stream, so
+        # halving it is what raises the max lane count on one chip
+        from ..models.qwen25_vl.language import init_kv_arena
 
-            z = jax.jit(quantize_kv)(jnp.zeros(shape, dtype))
-            self.k_arena = z
-            self.v_arena = jax.tree_util.tree_map(jnp.copy, z)
-        else:
-            self.k_arena = jnp.zeros(shape, dtype)
-            self.v_arena = jnp.zeros(shape, dtype)
+        self.k_arena, self.v_arena = init_kv_arena(
+            t, C, dtype, quant=stream.kv_quant, lead_dims=(n_streams,)
+        )
         if mesh is not None:
             # each device keeps every lane's cache for the kv heads it owns:
             # the batched step's gathers/merges stay device-local, exactly the
@@ -501,6 +496,18 @@ class MultiStreamEngine:
 
         self.k_arena = write(self.k_arena, snap["k"])
         self.v_arena = write(self.v_arena, snap["v"])
+        if self._mesh is not None:
+            # re-pin the kv-head sharding: .at[b].set output placement is
+            # compiler-chosen, and a resharded/replicated arena would both
+            # recompile the batched step and undo the TP memory split
+            from ..parallel.mesh import arena_sharding_tree
+
+            sh = arena_sharding_tree(
+                self._mesh, self.cfg.text.num_key_value_heads, self.k_arena,
+                batched=True,
+            )
+            self.k_arena = jax.device_put(self.k_arena, sh)
+            self.v_arena = jax.device_put(self.v_arena, sh)
 
     # ------------------------------------------------------------------ warmup
     def prewarm(

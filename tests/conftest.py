@@ -10,8 +10,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # trace inside backend_compile_and_load). The hard limit is unlimited here —
 # raise the soft limit to 512 MB before any jax/XLA initialisation.
 _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-if _hard == resource.RLIM_INFINITY or _hard >= 512 * 2**20:
-    resource.setrlimit(resource.RLIMIT_STACK, (512 * 2**20, _hard))
+_target = 512 * 2**20 if _hard == resource.RLIM_INFINITY else min(512 * 2**20, _hard)
+if _soft != resource.RLIM_INFINITY and _soft < _target:
+    resource.setrlimit(resource.RLIMIT_STACK, (_target, _hard))
 
 import jax
 
