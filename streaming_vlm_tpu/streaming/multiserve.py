@@ -91,9 +91,10 @@ class MultiStreamServer:
 
     Rounds are driven either manually (`run_round_once`, deterministic —
     what the equivalence tests use) or by a background thread
-    (`start`/`stop`). All clients must share the engine's grid shape for
-    vision chunks within one round (mixed grids across ROUNDS are fine:
-    each round's active lanes pick one)."""
+    (`start`/`stop`). Clients may stream at DIFFERENT video resolutions:
+    each lane encodes through its own grid's tower executable and the
+    batched step pads vision-token counts to the round's max
+    (multistream.py mixed-grid rounds)."""
 
     def __init__(self, engine: MultiStreamEngine, *, end_bias: int = 2):
         self.engine = engine
@@ -171,38 +172,22 @@ class MultiStreamServer:
         if n_active == 0:
             return 0
 
-        grids = {tuple(w["grid"]) for w in work if w and w["grid"] is not None}
-        assert len(grids) <= 1, (
-            f"one grid per round (got {grids}); submit mixed grids in "
-            f"different rounds"
-        )
+        # per-lane grids: clients stream at whatever resolution they like;
+        # each lane's chunk encodes through its own single-grid tower
+        # executable and the batched step pads vision counts to the round's
+        # max (multistream.py mixed-grid round)
+        grids = [None if w is None else w["grid"] for w in work]
+        patches = [None if w is None else w["patches"] for w in work]
         ve = None
-        grid = next(iter(grids)) if grids else None
-        if grid is not None:
-            import jax.numpy as jnp
-
-            from ..models.qwen25_vl import model
-
-            mu = self.engine.cfg.vision.spatial_merge_unit
-            n_vis = int(np.prod(grid)) // mu
-            D = self.engine.cfg.text.hidden_size
-            rows = []
-            for w in work:
-                if w is not None and w["patches"] is not None:
-                    rows.append(
-                        model.encode_video(
-                            self.engine.cfg,
-                            self.engine.params,
-                            jnp.asarray(w["patches"], self.engine.dtype),
-                            (grid,),
-                        )
-                    )
-                else:
-                    rows.append(jnp.zeros((n_vis, D), self.engine.dtype))
-            ve = jnp.stack(rows)
+        if any(p is not None for p in patches):
+            ve = self.engine.encode_round_mixed(patches, grids)
 
         segs = [None if w is None else w["segs"] for w in work]
-        outs = self.engine.process_round(segs, vis_embeds=ve, grid_thw=grid)
+        outs = self.engine.process_round(
+            segs,
+            vis_embeds=ve,
+            grid_thw=grids if any(g is not None for g in grids) else None,
+        )
         for b, (c, out) in enumerate(zip(clients, outs)):
             if out is None or c is None:
                 continue

@@ -168,6 +168,36 @@ class MultiStreamEngine:
             )
 
     # ------------------------------------------------------------------ vision
+    def encode_round_mixed(
+        self,
+        pixel_patches: Sequence[Optional[np.ndarray]],  # per lane [S_b, pd]
+        grids: Sequence[Optional[Tuple[int, int, int]]],
+    ) -> List[Optional[jnp.ndarray]]:
+        """Encode a HETEROGENEOUS round: each lane carries its own grid
+        (clients stream at different resolutions — the deployment case the
+        lockstep `encode_round` cannot express). One single-grid tower
+        dispatch per lane with vision (the executables are the per-grid ones
+        `prewarm(grids=...)` compiles; a new grid compiles once on first
+        sight, exactly like a solo engine). Returns per-lane [n_vis_b, D]
+        embeds (None where the lane has no vision) for
+        `process_round_async(vis_embeds=<this list>)`."""
+        assert len(pixel_patches) == len(grids) == self.n
+        out: List[Optional[jnp.ndarray]] = []
+        for pat, g in zip(pixel_patches, grids):
+            if pat is None:
+                out.append(None)
+                continue
+            assert g is not None, "pixel_patches without grid_thw"
+            out.append(
+                model.encode_video(
+                    self.cfg,
+                    self.params,
+                    jnp.asarray(pat, self.dtype),
+                    (tuple(int(x) for x in g),),
+                )
+            )
+        return out
+
     def encode_round(self, pixel_patches, grid_thw) -> jnp.ndarray:
         """Encode every stream's chunk: B single-grid tower dispatches that
         pipeline back-to-back on the device queue, plus one stack.
@@ -198,8 +228,10 @@ class MultiStreamEngine:
         self,
         chunk_segs: Sequence[Optional[List]],  # B lists of Seg; None = idle
         *,
-        vis_embeds=None,  # [B, N_vis, D] or None (text-only round)
-        grid_thw: Optional[Tuple[int, int, int]] = None,
+        vis_embeds=None,  # [B, N_vis, D] (uniform round), a per-lane list of
+        # Optional [n_vis_b, D] (MIXED-GRID round: encode_round_mixed), or
+        # None (text-only round)
+        grid_thw=None,  # one (t, h, w) for the round, or a per-lane list
         max_new: Optional[int] = None,
         eos_id: Optional[int] = None,
         eos_threshold: Optional[Tuple[int, float, float]] = None,
@@ -225,6 +257,14 @@ class MultiStreamEngine:
         st = self.stream
         max_new = max_new or st.max_tokens_per_chunk
         idle = [cs is None for cs in chunk_segs]
+        mixed = isinstance(vis_embeds, (list, tuple))
+        if mixed:
+            assert len(vis_embeds) == self.n
+        per_lane_grid = grid_thw is not None and not isinstance(
+            grid_thw[0], (int, np.integer)
+        )
+        if per_lane_grid:
+            assert len(grid_thw) == self.n
 
         # 1. eviction: host table edits, then one batched gather
         plans = [e.evict_plan() for e in self.engines]
@@ -251,7 +291,11 @@ class MultiStreamEngine:
                 vis_embeds=(
                     None if vis_embeds is None or idle[b] else vis_embeds[b]
                 ),
-                grid_thw=None if idle[b] else grid_thw,
+                grid_thw=(
+                    None
+                    if idle[b]
+                    else (grid_thw[b] if per_lane_grid else grid_thw)
+                ),
                 max_new=max_new,
                 eos_id=eos_id,
                 evict=False,
@@ -295,7 +339,45 @@ class MultiStreamEngine:
 
         vs = None
         ve = None
-        if vis_embeds is not None:
+        if mixed:
+            # MIXED-GRID round: lanes carry different vision-token counts
+            # (heterogeneous client resolutions). Pad every lane to the
+            # round's max count: the pad rows of `ve` point at slot t_pad,
+            # which is out of bounds for the [t_pad, D] embed block, so the
+            # scatter drops them (engine.py _chunk_step_impl, mode="drop") —
+            # the same mechanism idle lanes already rely on. The executable
+            # is keyed by max_nv, so rounds whose max matches a prewarmed
+            # grid's count reuse that compile.
+            counts = [
+                0 if (e is None or idle[b]) else int(np.asarray(e).shape[0])
+                for b, e in enumerate(vis_embeds)
+            ]
+            if any(counts):
+                max_nv = max(counts)
+                D = self.cfg.text.hidden_size
+                vs = np.full((self.n, max_nv), t_pad, np.int32)
+                rows = []
+                for b, (p, e) in enumerate(zip(preps, vis_embeds)):
+                    nb = counts[b]
+                    if nb:
+                        assert p["vis_slots"] is not None, (
+                            f"lane {b}: vision embeds supplied but the chunk "
+                            f"carries no video_pad tokens"
+                        )
+                        slots = np.asarray(p["vis_slots"])
+                        assert slots.shape[0] == nb, (
+                            f"lane {b}: chunk has {slots.shape[0]} video_pad "
+                            f"tokens but {nb} vision embeds were supplied"
+                        )
+                        vs[b, :nb] = slots
+                        row = jnp.asarray(e, self.dtype)
+                        if nb < max_nv:
+                            row = jnp.pad(row, ((0, max_nv - nb), (0, 0)))
+                        rows.append(row)
+                    else:
+                        rows.append(jnp.zeros((max_nv, D), self.dtype))
+                ve = jnp.stack(rows)
+        elif vis_embeds is not None:
             n_vis = int(np.asarray(vis_embeds).shape[1])
             active_nv = {
                 p["vis_slots"].shape[0]

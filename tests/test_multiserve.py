@@ -192,3 +192,64 @@ def test_server_background_thread(params):
         srv.stop()
     for e in ms.engines:
         assert e.cached + e.uncached_tail == e.table.total_len()
+
+
+GRID_B = (1, 6, 4)  # second client resolution: 6 merged vision tokens
+N_VID_TOK_B = GRID_B[0] * (GRID_B[1] // 2) * (GRID_B[2] // 2)
+
+
+def _chunk_g(builder, i, query, patches_seed, grid, n_vid):
+    rng = np.random.default_rng(patches_seed)
+    patches = rng.normal(size=(int(np.prod(grid)), PATCH_DIM)).astype(np.float32) * 0.1
+    segs = []
+    if i == 0:
+        segs.append(builder.system_segment())
+        segs.extend(builder.previous_text_segments("prev " + query))
+        segs.extend(
+            builder.user_turn_segments(0, 0.0, 1.0, n_vid, grid, 1.0, query=query)
+        )
+    else:
+        segs.extend(
+            builder.user_turn_segments(i, float(i), float(i + 1), n_vid, grid, 1.0)
+        )
+    segs.extend(builder.assistant_open_segments(i))
+    return segs, patches
+
+
+def test_server_mixed_resolution_clients(params):
+    """Two clients at DIFFERENT video resolutions submit into the SAME
+    rounds; each client's generations equal a solo engine at its own grid
+    (mixed-grid rounds: per-lane grids + padded vision counts)."""
+    n_chunks = 3
+
+    def solo(query, seed0, grid, n_vid):
+        eng = StreamingEngine(CFG, params, _stream_cfg(), _greedy(), dtype=jnp.float32)
+        builder = PromptBuilder(TOK, FakeTokenizer(TOK))
+        gens = []
+        for i in range(n_chunks):
+            segs, patches = _chunk_g(builder, i, query, seed0 + i, grid, n_vid)
+            gen, _ = eng.process_chunk(segs, pixel_patches=patches, grid_thw=grid)
+            eng.commit_assistant(gen, END_BIAS, i)
+            gens.append(np.asarray(gen))
+        return gens
+
+    solo_a = solo("narrate the game", 700, GRID, N_VID_TOK)
+    solo_b = solo("describe the scene", 900, GRID_B, N_VID_TOK_B)
+
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv = MultiStreamServer(ms, end_bias=END_BIAS)
+    a, b = srv.attach(), srv.attach()
+    ba, bb = PromptBuilder(TOK, FakeTokenizer(TOK)), PromptBuilder(TOK, FakeTokenizer(TOK))
+    for rnd in range(n_chunks):
+        segs, patches = _chunk_g(ba, rnd, "narrate the game", 700 + rnd, GRID, N_VID_TOK)
+        a.submit(segs, pixel_patches=patches, grid_thw=GRID)
+        segs, patches = _chunk_g(bb, rnd, "describe the scene", 900 + rnd, GRID_B, N_VID_TOK_B)
+        b.submit(segs, pixel_patches=patches, grid_thw=GRID_B)
+        assert srv.run_round_once() == 2
+        ia, gen_a = a.get(timeout=5)
+        ib, gen_b = b.get(timeout=5)
+        assert (ia, ib) == (rnd, rnd)
+        np.testing.assert_array_equal(solo_a[rnd], gen_a, err_msg=f"client A rnd {rnd}")
+        np.testing.assert_array_equal(solo_b[rnd], gen_b, err_msg=f"client B rnd {rnd}")

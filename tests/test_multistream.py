@@ -40,20 +40,20 @@ def _greedy():
     return SamplingConfig(do_sample=False, repetition_penalty=1.05)
 
 
-def _chunk_segs(builder, i, query, start=0.0):
+def _chunk_segs(builder, i, query, start=0.0, grid=GRID, n_vid=N_VID_TOK):
     segs = []
     if i == 0:
         segs.append(builder.system_segment())
         segs.extend(builder.previous_text_segments("prev " + query))
         segs.extend(
             builder.user_turn_segments(
-                0, start, start + 1.0, N_VID_TOK, GRID, 1.0, query=query
+                0, start, start + 1.0, n_vid, grid, 1.0, query=query
             )
         )
     else:
         segs.extend(
             builder.user_turn_segments(
-                i, start + float(i), start + float(i + 1), N_VID_TOK, GRID, 1.0
+                i, start + float(i), start + float(i + 1), n_vid, grid, 1.0
             )
         )
     segs.extend(builder.assistant_open_segments(i))
@@ -280,3 +280,97 @@ def test_multistream_prewarm_covers_round(params):
         out = ms.process_round(segs, vis_embeds=jnp.asarray(ve), grid_thw=GRID)
         ms.commit_assistant([g for g, _ in out], end_bias, i)
     assert chunk_step_batched._cache_size() == size0
+
+
+GRID_B = (1, 6, 4)  # a SECOND resolution: 6 merged vision tokens vs GRID's 4
+N_VID_TOK_B = GRID_B[0] * (GRID_B[1] // 2) * (GRID_B[2] // 2)
+
+
+def test_mixed_grid_round_matches_solo(params):
+    """Heterogeneous clients: lanes stream at DIFFERENT resolutions in the
+    SAME batched round (per-lane grids + per-lane vision-token counts padded
+    to the round max). Every lane must be bitwise what a solo engine at that
+    lane's own grid produces; a text-only lane and an idle lane ride along."""
+    rng = np.random.default_rng(9)
+    D = CFG.text.hidden_size
+    grids = [GRID, GRID_B, GRID]
+    nvs = [N_VID_TOK, N_VID_TOK_B, N_VID_TOK]
+    n_rounds = 5
+    idle_rounds_2 = {2}  # lane 2 idles one round mid-flight
+    ve_rounds = [
+        [rng.normal(size=(nv, D)).astype(np.float32) * 0.1 for nv in nvs]
+        for _ in range(n_rounds)
+    ]
+
+    # solo oracles, each at its own grid (lane 2 skips its idle round)
+    solo = []
+    for b, (q, s) in enumerate(STREAMS):
+        eng = StreamingEngine(CFG, params, _stream_cfg(), _greedy(), dtype=jnp.float32)
+        builder = PromptBuilder(TOK, FakeTokenizer(TOK))
+        _, end_bias = builder.measure_biases()
+        gens = {}
+        j = 0
+        for i in range(n_rounds):
+            if b == 2 and i in idle_rounds_2:
+                continue
+            segs = _chunk_segs(builder, j, q, s, grid=grids[b], n_vid=nvs[b])
+            gen, _ = eng.process_chunk(
+                segs, grid_thw=grids[b], vis_embeds=jnp.asarray(ve_rounds[i][b])
+            )
+            eng.commit_assistant(gen, end_bias, j)
+            gens[i] = np.asarray(gen)
+            j += 1
+        solo.append(gens)
+
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=3, dtype=jnp.float32
+    )
+    builders = [PromptBuilder(TOK, FakeTokenizer(TOK)) for _ in STREAMS]
+    _, end_bias = builders[0].measure_biases()
+    clocks = [0, 0, 0]
+    for i in range(n_rounds):
+        segs, ve = [], []
+        for b, (q, s) in enumerate(STREAMS):
+            if b == 2 and i in idle_rounds_2:
+                segs.append(None)
+                ve.append(None)
+            else:
+                segs.append(
+                    _chunk_segs(builders[b], clocks[b], q, s, grid=grids[b], n_vid=nvs[b])
+                )
+                ve.append(jnp.asarray(ve_rounds[i][b]))
+        out = ms.process_round(segs, vis_embeds=ve, grid_thw=grids)
+        for b in range(3):
+            if out[b] is None:
+                assert b == 2 and i in idle_rounds_2
+                continue
+            np.testing.assert_array_equal(
+                solo[b][i], out[b][0],
+                err_msg=f"mixed-grid lane {b} diverged round {i}",
+            )
+            ms.engines[b].commit_assistant(out[b][0], end_bias, clocks[b])
+            clocks[b] += 1
+    for e in ms.engines:
+        assert e.cached + e.uncached_tail == e.table.total_len()
+
+
+def test_encode_round_mixed_matches_solo_towers(params):
+    """encode_round_mixed == per-lane encode_video at each lane's own grid;
+    None lanes pass through as None."""
+    rng = np.random.default_rng(12)
+    grids = [GRID, None, GRID_B]
+    pats = [
+        None if g is None
+        else rng.normal(size=(int(np.prod(g)), PATCH_DIM)).astype(np.float32) * 0.1
+        for g in grids
+    ]
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=3, dtype=jnp.float32
+    )
+    got = ms.encode_round_mixed(pats, grids)
+    assert got[1] is None
+    for b in (0, 2):
+        want = np.asarray(
+            model.encode_video(CFG, params, jnp.asarray(pats[b]), (grids[b],))
+        )
+        np.testing.assert_allclose(np.asarray(got[b]), want, rtol=2e-5, atol=2e-5)
