@@ -194,6 +194,10 @@ def chunk_step(
     insert_at: jnp.ndarray,  # scalar int32: first arena slot for chunk tokens
     n_real: jnp.ndarray,  # scalar int32: real (unpadded) chunk length
     eos_id: jnp.ndarray,  # scalar int32
+    n_max: jnp.ndarray,  # scalar int32: decode budget <= statics.max_new
+    # (TRACED, so per-call budgets never recompile; emission stops at the
+    # budget exactly like a natural eos — a lane capped at m in a batched
+    # round emits what a solo engine with max_new=m would)
     rng: jax.Array,
 ):
     """Returns (k_arena, v_arena, ids_arena, gen_tokens [max_new], n_gen,
@@ -208,7 +212,8 @@ def chunk_step(
     by the async pipeline. Keep compaction a separate dispatch."""
     return _chunk_step_impl(
         statics, params, k_arena, v_arena, slot_positions, tokens,
-        vis_embeds, vis_slots, ids_arena, insert_at, n_real, eos_id, rng,
+        vis_embeds, vis_slots, ids_arena, insert_at, n_real, eos_id, n_max,
+        rng,
     )
 
 
@@ -226,6 +231,10 @@ def chunk_step_batched(
     insert_at: jnp.ndarray,  # [B]
     n_real: jnp.ndarray,  # [B]
     eos_id: jnp.ndarray,  # [B]
+    n_max: jnp.ndarray,  # [B] per-lane decode budgets <= statics.max_new
+    # (a qa-injected lane can decode 64 tokens while the others keep their
+    # <=20-token protocol — the round's scan length is the max, each lane
+    # stops emitting at ITS budget)
     rng: jax.Array,  # [B, 2] per-stream keys
 ):
     """Multi-stream serving step: `chunk_step` vmapped over B independent
@@ -239,7 +248,7 @@ def chunk_step_batched(
     f = partial(_chunk_step_impl, statics, params)
     return jax.vmap(f)(
         k_arena, v_arena, slot_positions, tokens, vis_embeds, vis_slots,
-        ids_arena, insert_at, n_real, eos_id, rng,
+        ids_arena, insert_at, n_real, eos_id, n_max, rng,
     )
 
 
@@ -256,6 +265,7 @@ def _chunk_step_impl(
     insert_at: jnp.ndarray,
     n_real: jnp.ndarray,
     eos_id: jnp.ndarray,
+    n_max: jnp.ndarray,
     rng: jax.Array,
 ):
     rng, _chunk_key = jax.random.split(rng)
@@ -370,7 +380,10 @@ def _chunk_step_impl(
         tok = jnp.where(done, eos_id, tok)
         presence = presence.at[tok].set(True)
         emitted = tok
-        now_done = done | (tok == eos_id)
+        # a lane is done at its own budget even when the round's scan runs
+        # longer (per-lane n_max in batched rounds); the trailing steps emit
+        # eos with was_done=True, exactly like a natural early eos
+        now_done = done | (tok == eos_id) | (step + 1 >= n_max)
 
         emb = language.embed_tokens(tcfg, params["text"], tok[None])
         pos = jax.lax.dynamic_slice(delta_pos, (0, step), (3, 1))
@@ -761,6 +774,7 @@ class StreamingEngine:
                         zero,  # insert_at
                         zero,  # n_real: the whole block is invisible padding
                         eos,
+                        jnp.asarray(max_new, jnp.int32),
                         jax.random.PRNGKey(0),
                     )
                     n_compiled += 1
@@ -897,6 +911,7 @@ class StreamingEngine:
             jnp.asarray(self.cached, jnp.int32),
             jnp.asarray(prep["n_real"], jnp.int32),
             jnp.asarray(prep["eos"], jnp.int32),
+            jnp.asarray(max_new, jnp.int32),
             self.rng,
         )
         self._inflight = ChunkHandle(

@@ -54,6 +54,9 @@ class StreamClient:
         *,
         pixel_patches: Optional[np.ndarray] = None,  # [S, patch_dim]
         grid_thw: Optional[Tuple[int, int, int]] = None,
+        max_new: Optional[int] = None,  # per-chunk decode budget (e.g. a
+        # qa-injected chunk wanting 64 tokens); other clients in the same
+        # round keep their own budgets (per-lane n_max in the batched step)
     ) -> None:
         """Enqueue one chunk (segments + optional vision patches). The
         server picks it up on its next round."""
@@ -61,7 +64,12 @@ class StreamClient:
         if pixel_patches is not None:
             assert grid_thw is not None
         self._pending.put(
-            {"segs": chunk_segs, "patches": pixel_patches, "grid": grid_thw}
+            {
+                "segs": chunk_segs,
+                "patches": pixel_patches,
+                "grid": grid_thw,
+                "max_new": max_new,
+            }
         )
         self._server._wake.set()
 
@@ -183,10 +191,14 @@ class MultiStreamServer:
             ve = self.engine.encode_round_mixed(patches, grids)
 
         segs = [None if w is None else w["segs"] for w in work]
+        budgets = [None if w is None else w.get("max_new") for w in work]
         outs = self.engine.process_round(
             segs,
             vis_embeds=ve,
             grid_thw=grids if any(g is not None for g in grids) else None,
+            max_new=(
+                budgets if any(m is not None for m in budgets) else None
+            ),
         )
         for b, (c, out) in enumerate(zip(clients, outs)):
             if out is None or c is None:

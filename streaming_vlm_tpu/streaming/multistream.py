@@ -255,7 +255,21 @@ class MultiStreamEngine:
         assert self._inflight is None, "previous round not finished"
         assert len(chunk_segs) == self.n
         st = self.stream
-        max_new = max_new or st.max_tokens_per_chunk
+        # per-lane decode budgets: a sequence gives each lane its own cap
+        # (None entries = the default). The round's scan length is the max;
+        # each lane stops emitting at ITS budget (traced n_max — a capped
+        # lane produces exactly what a solo engine with max_new=cap would,
+        # so a qa-injected lane decoding 64 tokens does not break the other
+        # lanes' <=20-token protocol).
+        if isinstance(max_new, (list, tuple, np.ndarray)):
+            assert len(max_new) == self.n
+            budgets = [
+                int(m) if m else st.max_tokens_per_chunk for m in max_new
+            ]
+        else:
+            budgets = [int(max_new or st.max_tokens_per_chunk)] * self.n
+        assert all(m >= 1 for m in budgets), budgets
+        max_new = max(budgets)
         idle = [cs is None for cs in chunk_segs]
         mixed = isinstance(vis_embeds, (list, tuple))
         if mixed:
@@ -437,6 +451,7 @@ class MultiStreamEngine:
             insert_at,
             n_real,
             eos,
+            np.asarray(budgets, np.int32),
             self.rngs,
         )
         if any(idle):
@@ -688,6 +703,7 @@ class MultiStreamEngine:
                         zero,
                         zero,
                         eos,
+                        jnp.full((self.n,), max_new, jnp.int32),
                         jax.random.split(jax.random.PRNGKey(0), self.n),
                     )
                     n_compiled += 1

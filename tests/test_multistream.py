@@ -374,3 +374,54 @@ def test_encode_round_mixed_matches_solo_towers(params):
             model.encode_video(CFG, params, jnp.asarray(pats[b]), (grids[b],))
         )
         np.testing.assert_allclose(np.asarray(got[b]), want, rtol=2e-5, atol=2e-5)
+
+
+def test_per_lane_decode_budgets(params, vis_embeds_rounds):
+    """Per-lane max_new: lane 0 capped at 3 tokens while lane 1 keeps the
+    default 6 in the SAME rounds (scan length = round max; traced n_max
+    stops each lane at its own budget). Lane 0 must equal a solo engine run
+    with max_new=3; lane 1 must equal the default solo run."""
+    n_rounds = 4
+    solo_default = _run_solo(params, vis_embeds_rounds, n_rounds)
+
+    q0, s0 = STREAMS[0]
+    eng0 = StreamingEngine(CFG, params, _stream_cfg(), _greedy(), dtype=jnp.float32)
+    b0 = PromptBuilder(TOK, FakeTokenizer(TOK))
+    _, end_bias = b0.measure_biases()
+    solo_capped = []
+    for i in range(n_rounds):
+        segs = _chunk_segs(b0, i, q0, s0)
+        gen, _ = eng0.process_chunk(
+            segs, grid_thw=GRID,
+            vis_embeds=jnp.asarray(vis_embeds_rounds[i, 0]), max_new=3,
+        )
+        eng0.commit_assistant(gen, end_bias, i)
+        solo_capped.append(np.asarray(gen))
+
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    builders = [PromptBuilder(TOK, FakeTokenizer(TOK)) for _ in range(2)]
+    for i in range(n_rounds):
+        segs = [_chunk_segs(builders[b], i, *STREAMS[b]) for b in range(2)]
+        out = ms.process_round(
+            segs,
+            vis_embeds=jnp.asarray(vis_embeds_rounds[i, :2]),
+            grid_thw=GRID,
+            max_new=[3, None],
+        )
+        # capped lane: bitwise the capped solo engine (incl. forced eos)
+        np.testing.assert_array_equal(
+            solo_capped[i], out[0][0],
+            err_msg=f"capped lane diverged round {i}",
+        )
+        assert len(out[0][0]) <= 3 + 1  # budget + forced/natural eos
+        # uncapped lane: bitwise the default solo run
+        np.testing.assert_array_equal(
+            solo_default[1][i], out[1][0],
+            err_msg=f"uncapped lane diverged round {i}",
+        )
+        ms.engines[0].commit_assistant(out[0][0], end_bias, i)
+        ms.engines[1].commit_assistant(out[1][0], end_bias, i)
+    for e in ms.engines:
+        assert e.cached + e.uncached_tail == e.table.total_len()

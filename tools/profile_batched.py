@@ -55,7 +55,8 @@ for B in Bs:
             t0 = time.perf_counter()
             k, v, ids, g, n, r = chunk_step_batched(
                 statics, params, k, v, slot_pos, tokens, None, None,
-                ids, zero, zero, eos, rngs,
+                ids, zero, zero, eos,
+                jnp.full((B,), max_new, jnp.int32), rngs,
             )
             np.asarray(g[0, 0])  # force a real host transfer (sync)
             ts.append(time.perf_counter() - t0)
