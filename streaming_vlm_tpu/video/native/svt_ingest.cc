@@ -52,6 +52,11 @@ struct Reader {
   AVFrame* frame = nullptr;
   AVPacket* pkt = nullptr;
   int sws_w = -1, sws_h = -1;
+  // swscale staging buffer: SIMD row writers can overrun a tightly-packed
+  // unaligned destination (observed glibc heap corruption at out_w=56), so
+  // sws_scale targets this aligned+padded buffer and rows are memcpy'd out
+  std::vector<uint8_t> sws_buf;
+  int sws_stride = 0;
   std::string error;
 };
 
@@ -90,10 +95,16 @@ int scale_out(Reader* r, AVFrame* f, int out_w, int out_h, uint8_t* out) {
                             nullptr);
     r->sws_w = out_w;
     r->sws_h = out_h;
+    r->sws_stride = FFALIGN(out_w * 3, 64);
+    // one padded slack row at the end: the widest overrun is < one stride
+    r->sws_buf.assign((size_t)r->sws_stride * (out_h + 1), 0);
   }
-  uint8_t* dst[1] = {out};
-  int dst_stride[1] = {out_w * 3};
+  uint8_t* dst[1] = {r->sws_buf.data()};
+  int dst_stride[1] = {r->sws_stride};
   sws_scale(r->sws, f->data, f->linesize, 0, r->dec->height, dst, dst_stride);
+  for (int y = 0; y < out_h; y++)
+    memcpy(out + (size_t)y * out_w * 3,
+           r->sws_buf.data() + (size_t)y * r->sws_stride, (size_t)out_w * 3);
   return 0;
 }
 
