@@ -26,6 +26,7 @@ Design notes (TPU-idiomatic serving):
 
 from __future__ import annotations
 
+import itertools
 import queue
 import threading
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -38,15 +39,22 @@ __all__ = ["MultiStreamServer", "StreamClient"]
 
 
 class StreamClient:
-    """Handle for one attached stream: submit chunks, read results."""
+    """Handle for one attached stream: submit chunks, read results.
 
-    def __init__(self, server: "MultiStreamServer", lane: int):
+    `lane` is None while the client is PARKED (oversubscribed server,
+    stream state held as a host snapshot); the scheduler restores it into
+    a lane when its next chunk is picked up."""
+
+    def __init__(self, server: "MultiStreamServer", lane: Optional[int]):
         self._server = server
         self.lane = lane
         self.chunk_index = 0  # this client's own chunk clock
         self._pending: "queue.Queue[Dict[str, Any]]" = queue.Queue()
         self._results: "queue.Queue[Tuple[int, np.ndarray]]" = queue.Queue()
         self.closed = False
+        self._parked: Optional[Dict[str, Any]] = None  # host snapshot
+        self._seed: Optional[int] = None  # sampling seed until first placement
+        self._last_round = -1  # LRU clock for eviction choice
 
     def submit(
         self,
@@ -69,6 +77,10 @@ class StreamClient:
                 "patches": pixel_patches,
                 "grid": grid_thw,
                 "max_new": max_new,
+                # arrival order across ALL clients: the scheduler serves
+                # oldest head-of-queue first (FIFO over chunks, so no
+                # client starves while lanes are contended)
+                "ticket": next(self._server._ticket),
             }
         )
         self._server._wake.set()
@@ -102,12 +114,40 @@ class MultiStreamServer:
     (`start`/`stop`). Clients may stream at DIFFERENT video resolutions:
     each lane encodes through its own grid's tower executable and the
     batched step pads vision-token counts to the round's max
-    (multistream.py mixed-grid rounds)."""
+    (multistream.py mixed-grid rounds).
 
-    def __init__(self, engine: MultiStreamEngine, *, end_bias: int = 2):
+    With `max_clients` > engine.n the server is OVERSUBSCRIBED: up to
+    max_clients concurrent streams share n device lanes, with idle
+    streams' KV paged out to host snapshots (the vLLM-swap idea, made
+    bitwise-exact here by the chunk-boundary snapshot format). Scheduling
+    is FIFO over submitted chunks with sticky lane residency; paging a
+    stream in/out never recompiles anything (static shapes) and never
+    changes its outputs (tests/test_multiserve.py oversubscription
+    equivalence)."""
+
+    def __init__(
+        self,
+        engine: MultiStreamEngine,
+        *,
+        end_bias: int = 2,
+        max_clients: Optional[int] = None,
+    ):
+        """`max_clients` > engine.n enables OVERSUBSCRIPTION: clients beyond
+        the device lane count are parked as host snapshots (streaming/
+        snapshot.py — KV prefix + table + rng, chunk-boundary exact) and the
+        scheduler pages them into lanes when their next chunk comes up,
+        evicting the least-recently-active idle resident. Steady state with
+        <= n concurrently-chatty clients never swaps; each swap costs one
+        lane-KV device->host + host->device copy. Default (None) keeps the
+        strict behavior: at most engine.n clients, attach raises beyond."""
         self.engine = engine
         self.end_bias = end_bias
-        self._clients: List[Optional[StreamClient]] = [None] * engine.n
+        self.max_clients = engine.n if max_clients is None else max_clients
+        self._lanes: List[Optional[StreamClient]] = [None] * engine.n
+        self._all: List[StreamClient] = []
+        self._ticket = itertools.count()
+        self._round = 0  # LRU clock
+        self.swaps = 0  # evictions performed (observability/tests)
         self._lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
@@ -119,29 +159,58 @@ class MultiStreamServer:
         seed: Optional[int] = None,
         snapshot: Optional[Dict[str, Any]] = None,
     ) -> StreamClient:
-        """Claim a free lane for a new client (resets the lane's host state;
-        no recompile, no disturbance to live lanes). With `snapshot` (from
-        StreamClient.snapshot / StreamingEngine.snapshot / snapshot.
-        load_snapshot) the client RESUMES that stream mid-flight — live
-        migration between servers, processes or chips — and its chunk clock
-        continues at the snapshot's chunk_index. Raises RuntimeError when
-        every lane is taken — callers queue or scale out."""
+        """Admit a new client. With a free lane it is placed immediately
+        (resets the lane's host state; no recompile, no disturbance to live
+        lanes); on an oversubscribed server with all lanes busy it is PARKED
+        and placed on first scheduling. With `snapshot` (from StreamClient.
+        snapshot / StreamingEngine.snapshot / snapshot.load_snapshot) the
+        client RESUMES that stream mid-flight — live migration between
+        servers, processes or chips — and its chunk clock continues at the
+        snapshot's chunk_index. Raises RuntimeError at max_clients —
+        callers queue or scale out."""
         with self._lock:
-            for b, c in enumerate(self._clients):
-                if c is None:
-                    if snapshot is not None:
-                        self.engine.restore_lane(b, snapshot)
-                    else:
-                        self.engine.reset_lane(b, seed=seed)
-                    client = StreamClient(self, b)
-                    if snapshot is not None:
-                        client.chunk_index = self.engine.engines[b].chunk_index
-                    self._clients[b] = client
-                    return client
-        raise RuntimeError(
-            f"all {self.engine.n} lanes taken; detach a client or serve "
-            f"with a larger n_streams"
-        )
+            if len(self._all) >= self.max_clients:
+                raise RuntimeError(
+                    f"all {self.max_clients} client slots taken "
+                    f"({self.engine.n} lanes); detach a client, raise "
+                    f"max_clients, or serve with a larger n_streams"
+                )
+            client = StreamClient(self, None)
+            client._seed = seed
+            if snapshot is not None:
+                client._parked = snapshot
+                client.chunk_index = int(snapshot["chunk_index"])
+            lane = self._free_lane()
+            if lane is not None:
+                self._place(client, lane)
+            self._all.append(client)
+            return client
+
+    def _free_lane(self) -> Optional[int]:
+        for b, c in enumerate(self._lanes):
+            if c is None:
+                return b
+        return None
+
+    def _place(self, client: StreamClient, lane: int) -> None:
+        """Materialise a client's stream into lane `lane` (caller holds the
+        lock and guarantees the lane is free)."""
+        if client._parked is not None:
+            self.engine.restore_lane(lane, client._parked)
+            client._parked = None
+        else:
+            self.engine.reset_lane(lane, seed=client._seed)
+        client.lane = lane
+        self._lanes[lane] = client
+
+    def _evict(self, client: StreamClient) -> None:
+        """Page a resident client out to a host snapshot, freeing its lane.
+        Always at a chunk boundary: rounds end with commit_assistant, and
+        eviction happens only between rounds."""
+        client._parked = self.engine.snapshot_lane(client.lane)
+        self._lanes[client.lane] = None
+        client.lane = None
+        self.swaps += 1
 
     def _snapshot(self, client: StreamClient) -> Dict[str, Any]:
         with self._lock:
@@ -153,12 +222,26 @@ class MultiStreamServer:
                 "snapshot with submitted chunks pending or results undrained;"
                 " drain get() first"
             )
+            if client.lane is None:
+                assert client._parked is not None, (
+                    "snapshot of a never-scheduled client with no snapshot "
+                    "state; submit a chunk first or attach(snapshot=...)"
+                )
+                # top-level copy so the caller's dict survives this client
+                # being placed later (restore never mutates the arrays)
+                return dict(client._parked)
             return self.engine.snapshot_lane(client.lane)
 
     def _detach(self, client: StreamClient) -> None:
         with self._lock:
             client.closed = True
-            self._clients[client.lane] = None
+            if client.lane is not None:
+                # client.lane is left as a historical value on the closed
+                # handle; the lane map below is what frees the lane
+                self._lanes[client.lane] = None
+            client._parked = None
+            if client in self._all:
+                self._all.remove(client)
 
     # ----------------------------------------------------------------- round
     def run_round_once(self) -> int:
@@ -171,14 +254,45 @@ class MultiStreamServer:
             return self._round_locked()
 
     def _round_locked(self) -> int:
-        clients = list(self._clients)
-        work: List[Optional[Dict[str, Any]]] = [None] * self.engine.n
-        for b, c in enumerate(clients):
-            if c is not None and not c._pending.empty():
-                work[b] = c._pending.get_nowait()
-        n_active = sum(w is not None for w in work)
-        if n_active == 0:
+        # -- schedule: serve the oldest-submitted chunks first (FIFO over
+        # head-of-queue tickets), at most one chunk per client per round
+        ready = [c for c in self._all if not c._pending.empty()]
+        if not ready:
             return 0
+        # .queue[0] peek is safe: items are only ever removed under this
+        # lock, and we just saw the queue non-empty
+        ready.sort(key=lambda c: c._pending.queue[0]["ticket"])
+        chosen = ready[: self.engine.n]
+
+        # -- place parked chosen clients: free lanes first, then page out
+        # resident clients that did NOT make this round (least-recently
+        # active first); residency is sticky, so <= n chatty clients never
+        # swap
+        incoming = [c for c in chosen if c.lane is None]
+        if incoming:
+            chosen_set = set(map(id, chosen))
+            victims = sorted(
+                (
+                    c
+                    for c in self._lanes
+                    if c is not None and id(c) not in chosen_set
+                ),
+                key=lambda c: c._last_round,
+            )
+            for c in incoming:
+                lane = self._free_lane()
+                if lane is None:
+                    self._evict(victims.pop(0))
+                    lane = self._free_lane()
+                self._place(c, lane)
+
+        self._round += 1
+        work: List[Optional[Dict[str, Any]]] = [None] * self.engine.n
+        for c in chosen:
+            work[c.lane] = c._pending.get_nowait()
+            c._last_round = self._round
+        clients: List[Optional[StreamClient]] = list(self._lanes)
+        n_active = len(chosen)
 
         # per-lane grids: clients stream at whatever resolution they like;
         # each lane's chunk encodes through its own single-grid tower

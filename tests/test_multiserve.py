@@ -166,7 +166,7 @@ def test_server_lane_exhaustion(params):
     srv = MultiStreamServer(ms)
     srv.attach()
     srv.attach()
-    with pytest.raises(RuntimeError, match="lanes taken"):
+    with pytest.raises(RuntimeError, match="client slots taken"):
         srv.attach()
 
 
@@ -253,3 +253,106 @@ def test_server_mixed_resolution_clients(params):
         assert (ia, ib) == (rnd, rnd)
         np.testing.assert_array_equal(solo_a[rnd], gen_a, err_msg=f"client A rnd {rnd}")
         np.testing.assert_array_equal(solo_b[rnd], gen_b, err_msg=f"client B rnd {rnd}")
+
+
+def test_server_oversubscription_matches_solo(params):
+    """FOUR clients share TWO device lanes (max_clients=4): idle streams are
+    paged out to host snapshots and paged back in when their next chunk
+    comes up. Every client's generations equal its solo engine bitwise, and
+    swaps actually happen."""
+    n_chunks = 3
+    queries = ["alpha", "beta", "gamma", "delta"]
+    seeds = [100, 500, 900, 1300]
+    solos = [
+        _solo_run(params, q, n_chunks, seed0=s) for q, s in zip(queries, seeds)
+    ]
+
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv = MultiStreamServer(ms, end_bias=END_BIAS, max_clients=4)
+    clients = [srv.attach() for _ in queries]
+    assert [c.lane for c in clients[:2]] == [0, 1]
+    assert [c.lane for c in clients[2:]] == [None, None]  # parked until scheduled
+    builders = [PromptBuilder(TOK, FakeTokenizer(TOK)) for _ in queries]
+
+    got = [[] for _ in queries]
+    for i in range(n_chunks):
+        for c, bld, q, s in zip(clients, builders, queries, seeds):
+            segs, patches = _chunk(bld, i, q, s + i)
+            c.submit(segs, pixel_patches=patches, grid_thw=GRID)
+        # 4 pending chunks, 2 lanes: two rounds drain one chunk per client
+        assert srv.run_round_once() == 2
+        assert srv.run_round_once() == 2
+        for k, c in enumerate(clients):
+            idx, gen = c.get(timeout=1)
+            got[k].append((idx, gen))
+
+    assert srv.swaps > 0  # paging really happened
+    for k, (solo, rows) in enumerate(zip(solos, got)):
+        for i, (idx, gen) in enumerate(rows):
+            assert idx == i
+            np.testing.assert_array_equal(
+                solo[i], gen, err_msg=f"client {k} chunk {i}"
+            )
+    # accounting invariant on whatever engines currently hold lanes
+    for e in ms.engines:
+        assert e.cached + e.uncached_tail == e.table.total_len()
+
+
+def test_server_oversubscription_sticky_residency(params):
+    """<= n chatty clients never swap: two resident clients streaming while
+    two parked clients stay silent costs zero evictions."""
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv = MultiStreamServer(ms, end_bias=END_BIAS, max_clients=4)
+    clients = [srv.attach() for _ in range(4)]
+    builders = [PromptBuilder(TOK, FakeTokenizer(TOK)) for _ in range(2)]
+    for i in range(3):
+        for c, bld in zip(clients[:2], builders):
+            segs, patches = _chunk(bld, i, "busy", 40 + i)
+            c.submit(segs, pixel_patches=patches, grid_thw=GRID)
+        assert srv.run_round_once() == 2
+        for c in clients[:2]:
+            c.get(timeout=1)
+    assert srv.swaps == 0
+
+
+def test_server_oversubscription_parked_snapshot_and_close(params):
+    """A parked client can snapshot (migrate off-server) and close; closing
+    a parked client never touches lanes."""
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv = MultiStreamServer(ms, end_bias=END_BIAS, max_clients=3)
+    a, b = srv.attach(), srv.attach()
+    bld = PromptBuilder(TOK, FakeTokenizer(TOK))
+    segs, patches = _chunk(bld, 0, "one", 77)
+    a.submit(segs, pixel_patches=patches, grid_thw=GRID)
+    srv.run_round_once()
+    a.get(timeout=1)
+
+    snap = a.snapshot()
+    # make b more recently active than a, so a is the LRU eviction victim
+    bld_b = PromptBuilder(TOK, FakeTokenizer(TOK))
+    segs, patches = _chunk(bld_b, 0, "two", 99)
+    b.submit(segs, pixel_patches=patches, grid_thw=GRID)
+    srv.run_round_once()
+    b.get(timeout=1)
+    # park a by scheduling a parked third client while a is idle
+    c = srv.attach()
+    bld_c = PromptBuilder(TOK, FakeTokenizer(TOK))
+    segs, patches = _chunk(bld_c, 0, "three", 88)
+    c.submit(segs, pixel_patches=patches, grid_thw=GRID)
+    srv.run_round_once()
+    c.get(timeout=1)
+    assert a.lane is None and srv.swaps == 1
+
+    parked_snap = a.snapshot()  # snapshot while parked
+    assert parked_snap["chunk_index"] == snap["chunk_index"] == 1
+    lanes_before = list(srv._lanes)
+    a.close()
+    assert srv._lanes == lanes_before  # closing parked client frees no lane
+    with pytest.raises(RuntimeError, match="client slots"):
+        srv.attach(), srv.attach(), srv.attach()
