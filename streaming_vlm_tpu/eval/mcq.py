@@ -83,10 +83,11 @@ def mcq_predict_batch(
     ids_list: Sequence[np.ndarray],
     option_ids_list: Sequence[Sequence[int]],
     *,
-    pixel_patches=None,  # [B, S, patch_dim]: one single-grid video per question
-    video_grid_thw: Optional[Tuple[int, int, int]] = None,  # shared by the batch
+    pixel_patches=None,  # [B, S, patch_dim] shared grid, or per-question list
+    video_grid_thw=None,  # (t,h,w) shared by the batch, or per-question list
     second_per_grid_ts: Optional[Sequence[float]] = None,
     bucket: int = 128,
+    vis_bucket: int = 64,
 ) -> List[int]:
     """Batched MCQ scoring: B questions in ONE device dispatch.
 
@@ -97,7 +98,17 @@ def mcq_predict_batch(
     weight read for the whole batch, read each question's logits at its own
     last real position. Per-question single-grid vision towers run vmapped
     (same executable-shape lesson as multi-stream serving). Matches
-    mcq_predict_one per element exactly (tests/test_eval_harnesses.py)."""
+    mcq_predict_one per element exactly (tests/test_eval_harnesses.py).
+
+    MIXED GRIDS (the OVO-Bench case: every question crops a different video
+    span): pass `video_grid_thw` as a per-question list of (t,h,w) and
+    `pixel_patches` as a per-question list of [S_b, patch_dim] arrays (None
+    entries = text-only questions). Each question's vision encodes through
+    its own single-grid tower executable (compiled once per grid, exactly
+    the multi-stream mixed-round design); embeds pad to the batch max
+    (rounded up to `vis_bucket` to bound executable count) and pad rows
+    scatter-drop via out-of-bounds slots. One LM dispatch for the batch
+    either way."""
     import jax
     import jax.numpy as jnp
 
@@ -107,6 +118,24 @@ def mcq_predict_batch(
 
     B = len(ids_list)
     assert B == len(option_ids_list) and B > 0
+    # per-question grids (mixed path) are a list/tuple of 3-seqs; a shared
+    # grid is one flat 3-seq of ints
+    mixed = isinstance(pixel_patches, list) or (
+        video_grid_thw is not None
+        and isinstance(video_grid_thw[0], (tuple, list, np.ndarray))
+    )
+    if mixed:
+        return _mcq_predict_batch_mixed(
+            cfg,
+            params,
+            ids_list,
+            option_ids_list,
+            pixel_patches,
+            video_grid_thw,
+            second_per_grid_ts,
+            bucket,
+            vis_bucket,
+        )
     if video_grid_thw is not None:
         video_grid_thw = tuple(int(x) for x in video_grid_thw)
     n_opt = len(option_ids_list[0])
@@ -175,6 +204,136 @@ def mcq_predict_batch(
         jnp.asarray(positions),
         None if pixel_patches is None else jnp.asarray(pixel_patches),
         None if slots is None else jnp.asarray(slots),
+        jnp.asarray(lens - 1),
+        jnp.asarray(np.asarray(option_ids_list, np.int32)),
+    )
+    return [int(x) for x in np.asarray(out)]
+
+
+def _mcq_predict_batch_mixed(
+    cfg: ModelConfig,
+    params,
+    ids_list: Sequence[np.ndarray],
+    option_ids_list: Sequence[Sequence[int]],
+    patches_list,  # per-question Optional [S_b, patch_dim]
+    grids_list,  # per-question Optional (t, h, w)
+    second_per_grid_ts,  # per-question Optional float, or None
+    bucket: int,
+    vis_bucket: int,
+) -> List[int]:
+    """Mixed-grid batched MCQ (see mcq_predict_batch docstring). Vision runs
+    OUTSIDE the batched LM jit as one single-grid tower dispatch per
+    question (executables cached per grid — the measured B^2 multi-grid
+    lesson from multistream.encode_round, multistream.py:205-216); the LM
+    batch pads vision-token counts to the round max rounded up to
+    `vis_bucket` and drops pad rows with out-of-bounds scatter slots."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.qwen25_vl import language as _lang
+    from ..models.qwen25_vl import model
+    from ..models.qwen25_vl.model import mrope_positions_from_ids
+
+    B = len(ids_list)
+    if patches_list is None:
+        patches_list = [None] * B
+    if grids_list is None:
+        grids_list = [None] * B
+    elif len(grids_list) == 3 and all(
+        isinstance(x, (int, np.integer)) for x in grids_list
+    ):
+        # pixel_patches came as a list but the grid is one shared (t, h, w)
+        grids_list = [tuple(grids_list)] * B
+    assert len(patches_list) == B and len(grids_list) == B
+    n_opt = len(option_ids_list[0])
+    assert all(len(o) == n_opt for o in option_ids_list)
+    lens = np.asarray([len(i) for i in ids_list], np.int32)
+    T = int(-(-int(lens.max()) // bucket) * bucket)
+    pad_id = cfg.tokens.pad
+    ids = np.full((B, T), pad_id, np.int32)
+    positions = np.zeros((B, 3, T), np.float32)
+    embeds: List = []  # per-question [n_vis_b, D] jnp, or None
+    slot_rows: List[np.ndarray] = []
+    for b, row in enumerate(ids_list):
+        L = len(row)
+        ids[b, :L] = row
+        g = grids_list[b]
+        g = None if g is None else tuple(int(x) for x in g)
+        spg = None
+        if second_per_grid_ts is not None and second_per_grid_ts[b] is not None:
+            spg = np.asarray([second_per_grid_ts[b]], np.float32)
+        pos, _ = mrope_positions_from_ids(
+            ids[b],
+            None if g is None else np.asarray([g]),
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            tokens_per_second=cfg.vision.tokens_per_second,
+            second_per_grid_ts=spg,
+            video_token_id=cfg.tokens.video_pad,
+            image_token_id=cfg.tokens.image_pad,
+        )
+        positions[b] = pos
+        if g is None:
+            assert patches_list[b] is None, "pixel_patches without grid_thw"
+            embeds.append(None)
+            slot_rows.append(np.zeros((0,), np.int32))
+        else:
+            assert patches_list[b] is not None, "grid_thw without pixel_patches"
+            (s,) = np.nonzero(ids[b] == cfg.tokens.video_pad)
+            emb = model.encode_video(
+                cfg, params, jnp.asarray(patches_list[b]), (g,)
+            )
+            assert emb.shape[0] == len(s), (
+                f"question {b}: grid {g} yields {emb.shape[0]} vision tokens "
+                f"but the prompt has {len(s)} video_pad slots"
+            )
+            embeds.append(emb)
+            slot_rows.append(s.astype(np.int32))
+
+    n_vis = max((e.shape[0] for e in embeds if e is not None), default=0)
+    if n_vis == 0:  # every question text-only: plain shared path
+        return mcq_predict_batch(
+            cfg, params, ids_list, option_ids_list, bucket=bucket
+        )
+    N = int(-(-n_vis // vis_bucket) * vis_bucket)
+    D = next(e for e in embeds if e is not None).shape[1]
+    dt = next(e for e in embeds if e is not None).dtype
+    vis_rows, slots = [], np.full((B, N), T, np.int32)  # T = OOB -> dropped
+    for b, (e, s) in enumerate(zip(embeds, slot_rows)):
+        if e is None:
+            vis_rows.append(jnp.zeros((N, D), dt))
+        else:
+            vis_rows.append(jnp.pad(e, ((0, N - e.shape[0]), (0, 0))))
+            slots[b, : len(s)] = s
+    vis = jnp.stack(vis_rows)
+
+    key = (cfg, T, n_opt, N, "mixed")
+    fn = _MCQ_BATCH_CACHE.get(key)
+    if fn is None:
+        tcfg = cfg.text
+
+        @jax.jit
+        def fn(params, ids, positions, vis, slots, last_idx, opt_ids):
+            def one(ids1, pos1, vis1, slots1):
+                emb = _lang.embed_tokens(tcfg, params["text"], ids1)
+                emb = emb.at[slots1].set(vis1.astype(emb.dtype), mode="drop")
+                return _lang.language_forward(tcfg, params["text"], emb, pos1)
+
+            hidden = jax.vmap(one)(ids, positions, vis, slots)
+            last = jnp.take_along_axis(
+                hidden, last_idx[:, None, None], axis=1
+            )[:, 0]
+            logits = _lang.lm_logits(tcfg, params["text"], last)  # [B, V]
+            scores = jnp.take_along_axis(logits, opt_ids, axis=1)
+            return jnp.argmax(scores, axis=1)
+
+        _MCQ_BATCH_CACHE[key] = fn
+
+    out = fn(
+        params,
+        jnp.asarray(ids),
+        jnp.asarray(positions),
+        vis,
+        jnp.asarray(slots),
         jnp.asarray(lens - 1),
         jnp.asarray(np.asarray(option_ids_list, np.int32)),
     )

@@ -145,6 +145,68 @@ def test_mcq_predict_batch_matches_one(params):
     assert got_v == solo_v
 
 
+def test_mcq_predict_batch_mixed_grids(params):
+    """Mixed-grid batched MCQ (the real OVO-Bench shape: every question crops
+    a different video span, so grids differ per question; one may be
+    text-only) == mcq_predict_one per element. Vision counts pad to the
+    round max (vis_bucket rounding) with OOB scatter-drop slots."""
+    from streaming_vlm_tpu.eval.mcq import mcq_predict_batch, mcq_predict_one
+
+    grids = [(1, 4, 4), (1, 6, 4), None]  # third question text-only
+    patch_dim = (
+        CFG.vision.in_channels
+        * CFG.vision.temporal_patch_size
+        * CFG.vision.patch_size**2
+    )
+    rng = np.random.default_rng(21)
+    questions = [
+        "Is the ball red or blue?",
+        "Which event happened immediately after the whistle blew loudly?",
+        "No video for this one?",
+    ]
+    opt_ids = option_token_ids(FTOK, ["A", "B", "C", "D"])
+    ids_list, patches_list, spg_list = [], [], []
+    for q, g in zip(questions, grids):
+        if g is None:
+            ids_list.append(build_mcq_prompt_ids(CFG, FTOK, q, 0))
+            patches_list.append(None)
+            spg_list.append(None)
+        else:
+            n_vis = int(np.prod(g)) // CFG.vision.spatial_merge_unit
+            ids_list.append(build_mcq_prompt_ids(CFG, FTOK, q, n_vis))
+            pat = rng.normal(size=(int(np.prod(g)), patch_dim))
+            patches_list.append((pat * 0.1).astype(np.float32))
+            spg_list.append(1.0)
+
+    solo = [
+        mcq_predict_one(
+            CFG, params, ids, opt_ids,
+            pixel_patches=patches_list[b],
+            video_grid_thw=None if grids[b] is None else np.asarray([grids[b]]),
+            second_per_grid_ts=(
+                None if grids[b] is None
+                else np.asarray([1.0], np.float32)
+            ),
+        )
+        for b, ids in enumerate(ids_list)
+    ]
+    got = mcq_predict_batch(
+        CFG, params, ids_list, [opt_ids] * len(ids_list),
+        pixel_patches=patches_list, video_grid_thw=grids,
+        second_per_grid_ts=spg_list, vis_bucket=8,
+    )
+    assert got == solo
+
+    # all-text-only through the mixed entry falls back to the shared path
+    ids_text = [build_mcq_prompt_ids(CFG, FTOK, q, 0) for q in questions]
+    solo_t = [mcq_predict_one(CFG, params, i, opt_ids) for i in ids_text]
+    got_t = mcq_predict_batch(
+        CFG, params, ids_text, [opt_ids] * len(ids_text),
+        pixel_patches=[None] * 3, video_grid_thw=[None] * 3,
+    )
+    assert got_t == solo_t
+
+
 def test_ovobench_reformat_and_mcq(video_path, params, tmp_path):
     raw = [
         {"id": 1, "task": "CRR", "question": "Is it red?", "ask_time": 0,
