@@ -17,7 +17,13 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 from ..config import ModelConfig, VideoConfig
-from .mcq import build_mcq_prompt_ids, mcq_predict_one, option_token_ids, shard_indices
+from .mcq import (
+    build_mcq_prompt_ids,
+    mcq_predict_batch,
+    mcq_predict_one,
+    option_token_ids,
+    shard_indices,
+)
 
 REALTIME_TASKS = ("OCR", "ACR", "ATR", "STU", "FPD", "OJR")
 BACKWARD_TASKS = ("EPM", "ASI", "HLD")
@@ -151,13 +157,19 @@ def evaluate_ovobench(
     fps: float = 1.0,
     max_frames: int = 64,
     video: Optional[VideoConfig] = None,
+    batch_size: int = 1,
 ) -> List[dict]:
     """Run MCQ prediction over the formatted jsonl; returns result dicts with
     per-item response/answer. Resume: items already in out_path are skipped.
 
-    Per-question loop because smart_resize gives each video its own grid;
-    for suites with a shared frame geometry, mcq.mcq_predict_batch scores B
-    questions in one dispatch (exact-match-tested vs this path)."""
+    `batch_size` > 1 scores that many questions per LM dispatch through the
+    mixed-grid batched MCQ path (each question's video crops its own span,
+    so grids differ — vision encodes per question through its own cached
+    tower executable, the LM batch pads vision counts; mcq.py). Option
+    lists of different lengths pad by repeating the last option id, which
+    cannot change the argmax (duplicated ids share one logit and argmax
+    takes the first occurrence). Per element exact vs batch_size=1
+    (tests/test_eval_harnesses.py)."""
     from ..video.ingest import ChunkedVideoSource, select_chunk_frames, patchify_frames
 
     video_cfg = video or VideoConfig(fps=fps)
@@ -176,6 +188,57 @@ def evaluate_ovobench(
 
     results = []
     fout = open(out_path, "a") if out_path else None
+
+    def emit(rec):
+        results.append(rec)
+        if fout:
+            fout.write(json.dumps(rec, ensure_ascii=False) + "\n")
+            fout.flush()
+
+    pending: List[dict] = []  # prepared questions awaiting a batched dispatch
+
+    def flush():
+        if not pending:
+            return
+        if len(pending) == 1:
+            p = pending[0]
+            choice = mcq_predict_one(
+                cfg,
+                params,
+                p["ids"],
+                p["opt_ids"],
+                pixel_patches=p["patches"],
+                video_grid_thw=np.array([list(p["grid"])]),
+                second_per_grid_ts=[p["spg"]],
+            )
+            choices = [choice]
+        else:
+            n_opt = max(len(p["opt_ids"]) for p in pending)
+            opt_padded = [
+                list(p["opt_ids"]) + [p["opt_ids"][-1]] * (n_opt - len(p["opt_ids"]))
+                for p in pending
+            ]
+            choices = mcq_predict_batch(
+                cfg,
+                params,
+                [p["ids"] for p in pending],
+                opt_padded,
+                pixel_patches=[p["patches"] for p in pending],
+                video_grid_thw=[tuple(p["grid"]) for p in pending],
+                second_per_grid_ts=[p["spg"] for p in pending],
+            )
+        for p, choice in zip(pending, choices):
+            emit(
+                {
+                    "_idx": p["idx"],
+                    "id": p["d"]["id"],
+                    "task": p["d"]["task"],
+                    "response": p["d"]["options"][choice],
+                    "answer": p["d"]["answer"],
+                }
+            )
+        pending.clear()
+
     for idx in shard_indices(len(datums), worker, num_workers):
         if idx in done:
             continue
@@ -211,30 +274,23 @@ def evaluate_ovobench(
             n_vid = grid[0] * (grid[1] // cfg.vision.spatial_merge_size) * (
                 grid[2] // cfg.vision.spatial_merge_size
             )
-            ids = build_mcq_prompt_ids(cfg, encode, d["question"], n_vid)
-            opt_ids = option_token_ids(encode, d["options"])
-            choice = mcq_predict_one(
-                cfg,
-                params,
-                ids,
-                opt_ids,
-                pixel_patches=patches,
-                video_grid_thw=np.array([list(grid)]),
-                second_per_grid_ts=[2.0 / fps],
+            pending.append(
+                dict(
+                    idx=idx,
+                    d=d,
+                    ids=build_mcq_prompt_ids(cfg, encode, d["question"], n_vid),
+                    opt_ids=option_token_ids(encode, d["options"]),
+                    patches=patches,
+                    grid=grid,
+                    spg=2.0 / fps,
+                )
             )
-            rec = {
-                "_idx": idx,
-                "id": d["id"],
-                "task": d["task"],
-                "response": d["options"][choice],
-                "answer": d["answer"],
-            }
         except Exception as e:
-            rec = {"_idx": idx, "id": d.get("id"), "task": d.get("task"), "error": str(e)}
-        results.append(rec)
-        if fout:
-            fout.write(json.dumps(rec, ensure_ascii=False) + "\n")
-            fout.flush()
+            emit({"_idx": idx, "id": d.get("id"), "task": d.get("task"), "error": str(e)})
+            continue
+        if len(pending) >= max(1, batch_size):
+            flush()
+    flush()
     if fout:
         fout.close()
     return results

@@ -241,6 +241,18 @@ def test_ovobench_reformat_and_mcq(video_path, params, tmp_path):
     accs = ovobench.evaluate_results(results)
     assert "CRR" in accs or "avg_forward" in accs
 
+    # batched (mixed-grid, mixed option counts: CRR/SSR 2, REC 11, OCR 2)
+    # == sequential per element
+    batched = ovobench.evaluate_ovobench(
+        cfg=CFG, params=params, encode=FTOK,
+        benchmark_path=fmt_path, fps=2.0,
+        video=TINY_VIDEO_CFG, batch_size=3,
+    )
+    by_idx = {r["_idx"]: r for r in batched}
+    assert len(by_idx) == 4 and all("error" not in r for r in batched)
+    for r in results:
+        assert by_idx[r["_idx"]]["response"] == r["response"], (r, by_idx[r["_idx"]])
+
 
 def test_livesports_generate_and_judge(video_path, params, tmp_path):
     events = [
