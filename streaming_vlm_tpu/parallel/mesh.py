@@ -123,37 +123,100 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     return jax.device_put(params, shardings), shardings
 
 
-def arena_sharding(mesh: Mesh, kv_heads: int, *, batched: bool = False) -> NamedSharding:
+def serving_rules(rules: Sequence[Tuple[str, P]]) -> Tuple[Tuple[str, P], ...]:
+    """TP-only variants of the sharding rules for the SERVING mesh: the
+    'data' axis is reserved for lanes (DP over concurrent streams), so
+    weights replicate over it. An FSDP-('data')-sharded weight would
+    all-gather on every layer of every decode step — re-paying exactly the
+    per-layer weight reads that batching lanes exists to amortise
+    (docs/MULTISTREAM.md); for training the FSDP rules stay the default."""
+    out = []
+    for pat, spec in rules:
+        out.append(
+            (pat, P(*[None if a == "data" else a for a in tuple(spec)]))
+        )
+    return tuple(out)
+
+
+def shard_params_serving(params: Any, mesh: Mesh) -> Any:
+    """Place params for a DP(lanes)×TP serving mesh: sharded over 'model'
+    (tensor parallel), replicated over 'data' (each lane group holds full
+    weights — decode is weight-bandwidth-bound, so weights must be local)."""
+    shardings = {
+        "vision": sharding_for_tree(
+            params["vision"], mesh, serving_rules(VISION_TP_RULES)
+        ),
+        "text": sharding_for_tree(
+            params["text"], mesh, serving_rules(TEXT_TP_RULES)
+        ),
+    }
+    return jax.device_put(params, shardings), shardings
+
+
+def _lane_axis(mesh: Mesh, lanes: Optional[int]) -> Optional[str]:
+    d = int(mesh.shape.get("data", 1))
+    if lanes is not None and d > 1 and lanes % d == 0:
+        return "data"
+    return None
+
+
+def arena_sharding(
+    mesh: Mesh, kv_heads: int, *, batched: bool = False,
+    lanes: Optional[int] = None,
+) -> NamedSharding:
     """Sharding for the streaming KV arena [L, C, Hkv, hd] (or the
     multi-stream stacked [B, L, C, Hkv, hd] with batched=True): split KV
     heads over the 'model' axis (each device holds its attention heads'
     cache — the multi-chip streaming-cache layout; 7B: 4 kv heads on a
-    model=4 mesh axis). Falls back to replication when Hkv doesn't divide."""
+    model=4 mesh axis), falling back to replication when Hkv doesn't
+    divide. With `lanes=B` the stacked arena's LANE dim additionally splits
+    over the 'data' axis (DP over concurrent streams — the full v5e-8
+    serving shape: data×model = lane-groups × TP; requires B % data == 0,
+    else lanes replicate)."""
     m = int(mesh.shape.get("model", 1))
-    if m > 1 and kv_heads % m == 0:
-        spec = (None,) * (3 if batched else 2) + ("model", None)
-        return NamedSharding(mesh, P(*spec))
-    return NamedSharding(mesh, P())
+    kv_ax = "model" if (m > 1 and kv_heads % m == 0) else None
+    lane_ax = _lane_axis(mesh, lanes) if batched else None
+    if batched:
+        spec = (lane_ax, None, None, kv_ax, None)
+    else:
+        spec = (None, None, kv_ax, None)
+    if all(a is None for a in spec):
+        return NamedSharding(mesh, P())
+    return NamedSharding(mesh, P(*spec))
 
 
 def arena_sharding_tree(
-    mesh: Mesh, kv_heads: int, arena: Any, *, batched: bool = False
+    mesh: Mesh, kv_heads: int, arena: Any, *, batched: bool = False,
+    lanes: Optional[int] = None,
 ) -> Any:
     """arena_sharding generalised to either arena representation: a plain
     [(B,) L, C, Hkv, hd] array, or the int8 {"q": [(B,) L, C, Hkv, hd],
     "s": [(B,) L, C, Hkv]} pytree (StreamConfig.kv_quant) — the scales
-    shard over the same KV-head axis so dequantization stays device-local."""
-    sh = arena_sharding(mesh, kv_heads, batched=batched)
+    shard over the same KV-head (and lane) axes so dequantization stays
+    device-local."""
+    sh = arena_sharding(mesh, kv_heads, batched=batched, lanes=lanes)
     if not isinstance(arena, dict):
         return sh
-    s_spec = P(*tuple(sh.spec)[:-1]) if tuple(sh.spec) else P()
+    spec = tuple(sh.spec)
+    # "s" drops the trailing head_dim axis; pad the spec first so a
+    # short (all-None-suffix-trimmed) spec still lines up
+    nd_q = 5 if batched else 4
+    spec = spec + (None,) * (nd_q - len(spec))
+    s_spec = P(*spec[:-1]) if any(a is not None for a in spec[:-1]) else P()
     return {"q": sh, "s": NamedSharding(mesh, s_spec)}
 
 
-def arena_shard_factor(mesh, kv_heads: int) -> int:
+def arena_shard_factor(
+    mesh, kv_heads: int, *, lanes: Optional[int] = None
+) -> int:
     """How many ways the arena's bytes split across devices (1 = replicated).
-    Used by the HBM budget guards to reason per-chip."""
+    Used by the HBM budget guards to reason per-chip. With `lanes` the
+    stacked multi-stream arena additionally splits over 'data'."""
     if mesh is None:
         return 1
     m = int(mesh.shape.get("model", 1))
-    return m if (m > 1 and kv_heads % m == 0) else 1
+    f = m if (m > 1 and kv_heads % m == 0) else 1
+    lane_ax = _lane_axis(mesh, lanes)
+    if lane_ax is not None:
+        f *= int(mesh.shape[lane_ax])
+    return f

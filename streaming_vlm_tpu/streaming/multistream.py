@@ -95,23 +95,54 @@ class MultiStreamEngine:
         self.k_arena, self.v_arena = init_kv_arena(
             t, C, dtype, quant=stream.kv_quant, lead_dims=(n_streams,)
         )
+        self.ids_arena = jnp.zeros((n_streams, C), jnp.int32)
+        self._lane_sharding = None
         if mesh is not None:
-            # each device keeps every lane's cache for the kv heads it owns:
-            # the batched step's gathers/merges stay device-local, exactly the
-            # single-stream TP layout with a leading lane axis
-            from ..parallel.mesh import arena_sharding_tree
+            # TP: each device keeps every lane's cache for the kv heads it
+            # owns — the batched step's gathers/merges stay device-local,
+            # exactly the single-stream TP layout with a leading lane axis.
+            # DP (mesh 'data' axis > 1, n_streams % data == 0): the LANE dim
+            # additionally splits over 'data' — lane groups are fully
+            # independent streams, so the step lowers with ZERO 'data'
+            # collectives when params are serving-sharded
+            # (parallel/mesh.py shard_params_serving: weights replicated
+            # over 'data', TP over 'model').
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import _lane_axis, arena_sharding_tree
 
             sh = arena_sharding_tree(
-                mesh, t.num_key_value_heads, self.k_arena, batched=True
+                mesh, t.num_key_value_heads, self.k_arena, batched=True,
+                lanes=n_streams,
             )
             self.k_arena = jax.device_put(self.k_arena, sh)
             self.v_arena = jax.device_put(self.v_arena, sh)
-        self.ids_arena = jnp.zeros((n_streams, C), jnp.int32)
+            lane_ax = _lane_axis(mesh, n_streams)
+            self._lane_sharding = NamedSharding(mesh, P(lane_ax))
+            self.ids_arena = jax.device_put(
+                self.ids_arena, NamedSharding(mesh, P(lane_ax, None))
+            )
         self._ident_src = np.arange(C, dtype=np.int32)
         self.rngs = jax.random.split(jax.random.PRNGKey(sampling.seed), n_streams)
+        self._pin_lane_rows()
         self._inflight: Optional[List[ChunkHandle]] = None
         self._inflight_idle: Optional[List[bool]] = None
         self._gen_all = self._ngen_all = None
+
+    def _pin_lane_rows(self) -> None:
+        """Commit per-lane row state (sampling keys) to the lane sharding.
+        Host-side `.at[b].set` edits (reset_lane/restore_lane) leave the
+        result's placement compiler-chosen; an input whose sharding changed
+        is a NEW executable, so re-pin after every such edit."""
+        if self._lane_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = self._mesh
+            spec = tuple(self._lane_sharding.spec)
+            lane_ax = spec[0] if spec else None
+            self.rngs = jax.device_put(
+                self.rngs, NamedSharding(mesh, P(lane_ax, None))
+            )
 
     # ------------------------------------------------------------------ sizing
     def _check_hbm_budget(self) -> None:
@@ -141,7 +172,12 @@ class MultiStreamEngine:
         if self._mesh is not None:
             from ..parallel.mesh import arena_shard_factor
 
-            f = arena_shard_factor(self._mesh, t.num_key_value_heads)
+            # lanes= includes the DP split of the stacked arena over 'data';
+            # params are counted per-chip over 'model' only (serving params
+            # replicate over 'data' — shard_params_serving)
+            f = arena_shard_factor(
+                self._mesh, t.num_key_value_heads, lanes=self.n
+            )
             arena, rot = arena // f, rot // f
             par //= int(self._mesh.shape.get("model", 1))
         budget = int(os.environ.get("SVT_HBM_BYTES", 0))
@@ -532,6 +568,7 @@ class MultiStreamEngine:
             self.sampling.seed + 1 + b if seed is None else seed
         )
         self.rngs = self.rngs.at[b].set(jax.random.split(key, 1)[0])
+        self._pin_lane_rows()
 
     # ------------------------------------------------------------------ snapshot
     def snapshot_lane(self, b: int):
@@ -594,17 +631,25 @@ class MultiStreamEngine:
         self.k_arena = write(self.k_arena, snap["k"])
         self.v_arena = write(self.v_arena, snap["v"])
         if self._mesh is not None:
-            # re-pin the kv-head sharding: .at[b].set output placement is
-            # compiler-chosen, and a resharded/replicated arena would both
-            # recompile the batched step and undo the TP memory split
-            from ..parallel.mesh import arena_sharding_tree
+            # re-pin the kv-head (and DP lane) sharding: .at[b].set output
+            # placement is compiler-chosen, and a resharded/replicated arena
+            # would both recompile the batched step and undo the TP/DP
+            # memory split
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import _lane_axis, arena_sharding_tree
 
             sh = arena_sharding_tree(
                 self._mesh, self.cfg.text.num_key_value_heads, self.k_arena,
-                batched=True,
+                batched=True, lanes=self.n,
             )
             self.k_arena = jax.device_put(self.k_arena, sh)
             self.v_arena = jax.device_put(self.v_arena, sh)
+            lane_ax = _lane_axis(self._mesh, self.n)
+            self.ids_arena = jax.device_put(
+                self.ids_arena, NamedSharding(self._mesh, P(lane_ax, None))
+            )
+            self._pin_lane_rows()
 
     # ------------------------------------------------------------------ warmup
     def prewarm(

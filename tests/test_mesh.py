@@ -344,3 +344,109 @@ def test_multislice_dcn_mesh_training_step():
     loss_ms = run(ms)
     loss_flat = run(make_mesh({"data": 2, "model": 4}))
     np.testing.assert_allclose(loss_ms, loss_flat, rtol=1e-5)
+
+
+def test_dp_lanes_over_data_axis_match_sharded_solo():
+    """DP×TP serving: 4 lanes whose LANE dim shards over the mesh 'data'
+    axis while kv heads shard over 'model' (parallel/mesh.py arena_sharding
+    lanes=), with weights placed by shard_params_serving (TP over 'model',
+    REPLICATED over 'data' — no per-layer FSDP all-gathers on the decode
+    path). Batched rounds == solo sharded engines bitwise, evictions, an
+    idle round, and a reset_lane included. This is the full v5e-8 serving
+    shape: data×model = lane-groups × tensor-parallel."""
+    from streaming_vlm_tpu.parallel.mesh import shard_params_serving
+    from streaming_vlm_tpu.streaming.multistream import MultiStreamEngine
+
+    cfg = _7b_geometry_cfg()
+    params = model.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    mesh = make_mesh({"data": 2, "model": 4})
+    sharded, _ = shard_params_serving(params, mesh)
+    stream = StreamConfig(
+        text_round=2, window_size=2, chunk_duration=1,
+        text_sink=4, text_sliding_window=3, max_tokens_per_chunk=4,
+        kv_capacity=1024, prefill_buckets=(64, 128, 256),
+    )
+    greedy = SamplingConfig(do_sample=False)
+    B, n_rounds, n_vis = 4, 4, 4
+    rng = np.random.default_rng(11)
+    D = cfg.text.hidden_size
+    ve = rng.normal(size=(n_rounds, B, n_vis, D)).astype(np.float32) * 0.1
+
+    def _lane_segs(builder, i, b):
+        segs = []
+        if i == 0:
+            segs.append(builder.system_segment())
+            segs.extend(builder.previous_text_segments(f"ctx {b}"))
+            segs.extend(
+                builder.user_turn_segments(0, 0.0, 1.0, n_vis, GRID, 1.0, query="q")
+            )
+        else:
+            segs.extend(
+                builder.user_turn_segments(i, float(i), float(i + 1), n_vis, GRID, 1.0)
+            )
+        segs.extend(builder.assistant_open_segments(i))
+        return segs
+
+    def solo(b, skip_round=None):
+        eng = StreamingEngine(
+            cfg, sharded, stream, greedy, dtype=jnp.float32, mesh=mesh
+        )
+        builder = PromptBuilder(cfg.tokens, FakeTokenizer(cfg.tokens))
+        _, eb = builder.measure_biases()
+        gens, rnd = [], 0
+        for i in range(n_rounds):
+            if i == skip_round:
+                gens.append(None)
+                continue
+            segs = _lane_segs(builder, rnd, b)
+            g, _ = eng.process_chunk(
+                segs, grid_thw=GRID, vis_embeds=jnp.asarray(ve[i, b])
+            )
+            eng.commit_assistant(g, eb, rnd)
+            gens.append(g.tolist())
+            rnd += 1
+        return gens
+
+    # lane 3 sits out round 2 (idle lane under DP sharding)
+    ref = [solo(0), solo(1), solo(2), solo(3, skip_round=2)]
+
+    ms = MultiStreamEngine(
+        cfg, sharded, stream, greedy, n_streams=B, dtype=jnp.float32, mesh=mesh
+    )
+    # the stacked arena really is lane- AND head-sharded: each device holds
+    # B/data lanes × Hkv/model heads
+    shard_shape = ms.k_arena.sharding.shard_shape(ms.k_arena.shape)
+    assert shard_shape[0] == B // 2, ms.k_arena.sharding
+    assert shard_shape[3] == cfg.text.num_key_value_heads // 4
+    assert ms.ids_arena.sharding.shard_shape(ms.ids_arena.shape)[0] == B // 2
+
+    builders = [
+        PromptBuilder(cfg.tokens, FakeTokenizer(cfg.tokens)) for _ in range(B)
+    ]
+    _, eb = builders[0].measure_biases()
+    rnds = [0] * B
+    for i in range(n_rounds):
+        segs = []
+        embs = []
+        for b in range(B):
+            if b == 3 and i == 2:
+                segs.append(None)  # idle
+                embs.append(np.zeros_like(ve[i, b]))
+            else:
+                segs.append(_lane_segs(builders[b], rnds[b], b))
+                embs.append(ve[i, b])
+        outs = ms.process_round(segs, vis_embeds=np.stack(embs), grid_thw=GRID)
+        for b, out in enumerate(outs):
+            if out is None:
+                assert ref[b][i] is None, (b, i)
+                continue
+            gen, _ = out
+            assert gen.tolist() == ref[b][i], (b, i)
+            ms.engines[b].commit_assistant(gen, eb, rnds[b])
+            rnds[b] += 1
+
+    # reset under DP sharding keeps the committed lane shardings (no silent
+    # replication / recompile of the batched step)
+    ms.reset_lane(1)
+    assert ms.k_arena.sharding.shard_shape(ms.k_arena.shape)[0] == B // 2
+    assert ms.rngs.sharding.shard_shape(ms.rngs.shape)[0] == B // 2
