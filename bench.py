@@ -346,13 +346,22 @@ def run_multistream(args):
     else:
         params = model.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
     mesh = None
-    if args.tp > 1:
-        # TP-sharded lanes: the v5e-8 deployment shape (N streams x TP-M);
-        # CPU-smoke-able via --model tiny --tp 2 --streams 2
-        from streaming_vlm_tpu.parallel.mesh import make_mesh, shard_params
+    if args.tp > 1 or args.dp > 1:
+        # sharded lanes: --tp M splits kv heads / weights (TP), --dp D
+        # additionally splits the LANE dim over a 'data' axis with weights
+        # replicated across lane groups (the full v5e-8 serving shape;
+        # parallel/mesh.py shard_params_serving). CPU-smoke-able via
+        # --model tiny --streams 4 --dp 2 --tp 2
+        from streaming_vlm_tpu.parallel.mesh import (
+            make_mesh, shard_params, shard_params_serving,
+        )
 
-        mesh = make_mesh({"data": 1, "model": args.tp})
-        params, _ = shard_params(params, mesh)
+        assert B % args.dp == 0, "--dp must divide --streams"
+        mesh = make_mesh({"data": args.dp, "model": args.tp})
+        if args.dp > 1:
+            params, _ = shard_params_serving(params, mesh)
+        else:
+            params, _ = shard_params(params, mesh)
     params = jax.tree.map(jax.block_until_ready, params)
 
     ms = MultiStreamEngine(cfg, params, stream, sampling, B, dtype=dtype, mesh=mesh)
@@ -427,7 +436,8 @@ def run_multistream(args):
     aggregate_fps = B * fps * chunk_duration / med
     print(json.dumps({
         "metric": f"streaming_ingest_fps_{args.model}_streams{B}"
-        + (f"_tp{args.tp}" if args.tp > 1 else ""),
+        + (f"_tp{args.tp}" if args.tp > 1 else "")
+        + (f"_dp{args.dp}" if args.dp > 1 else ""),
         "value": round(aggregate_fps, 3),
         "unit": "frames/sec (aggregate)",
         "vs_baseline": round(aggregate_fps / 8.0, 3),
@@ -505,6 +515,8 @@ def run_ab(args):
     ]
     if args.tp > 1:
         base_cmd += ["--tp", str(args.tp)]
+    if args.dp > 1:
+        base_cmd += ["--dp", str(args.dp)]
     if args.streams > 1:
         base_cmd += ["--streams", str(args.streams)]
     if args.vision != "frames":
@@ -606,6 +618,12 @@ def main():
     ap.add_argument("--streams", type=int, default=1,
                     help="concurrent streams batched on one chip "
                          "(multi-stream serving; reports AGGREGATE fps)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="lane-group data-parallel shards: the lane dim of "
+                         "the stacked arena splits over a 'data' mesh axis "
+                         "(needs --streams %% --dp == 0; weights replicate "
+                         "per group — shard_params_serving). CPU smoke: "
+                         "--model tiny --streams 4 --dp 2 --tp 2")
     ap.add_argument("--ab", type=str, default=None,
                     help="paired ABBA run: comma-separated ENV=VAL overrides for B")
     ap.add_argument("--no-glitch", dest="glitch", action="store_false",
@@ -623,7 +641,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", max(8, args.tp))
+        jax.config.update("jax_num_cpu_devices", max(8, args.tp * args.dp))
 
     if args.ab:
         return run_ab(args)

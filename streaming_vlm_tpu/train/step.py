@@ -205,8 +205,11 @@ def make_optimizer(
     warmup_steps: int = 0,
     total_steps: int = 10000,
 ) -> optax.GradientTransformation:
+    # decay_steps must exceed warmup (optax requires positive decay span);
+    # clamp so tiny max_steps smoke configs don't trip it
+    warmup = max(warmup_steps, 1)
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, learning_rate, max(warmup_steps, 1), max(total_steps, 2)
+        0.0, learning_rate, warmup, max(total_steps, warmup + 1)
     )
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),

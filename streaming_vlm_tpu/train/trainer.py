@@ -49,6 +49,13 @@ class TrainConfig:
     # reference's gradient_checkpointing recipe (sft_stage_1.sh:45); "none"
     # is faster when memory allows, "dots" in between
     remat: str = "full"
+    # how the loss distributes over the Trainer's mesh (docs/PARALLELISM.md):
+    # "gspmd" = DP/FSDP/TP via the sharding rules (params pre-sharded with
+    # shard_params, collectives inferred); "pp" = GPipe over a 'stage' axis
+    # (parallel/pipeline.py); "sp" = ring attention over a 'seq' axis
+    # (parallel/ring.py). "pp"/"sp" require mesh=; grads are exactly the
+    # "gspmd" step's (tests/test_pipeline.py, tests/test_ring.py)
+    parallel_mode: str = "gspmd"
 
 
 def find_resume_checkpoint(output_dir: str) -> Optional[str]:
@@ -123,6 +130,20 @@ class Trainer:
     def _train_step(self, text_params, opt_state, vision_params, batch):
         def loss_fn(tp):
             p = {"text": tp, "vision": vision_params}
+            if self.tc.parallel_mode == "pp":
+                from ..parallel.pipeline import sft_loss_pp
+
+                assert self.mesh is not None, "parallel_mode='pp' needs mesh="
+                return sft_loss_pp(
+                    self.cfg, p, batch, self.mesh, remat=self.tc.remat
+                )
+            if self.tc.parallel_mode == "sp":
+                from ..parallel.ring import sft_loss_sp
+
+                assert self.mesh is not None, "parallel_mode='sp' needs mesh="
+                return sft_loss_sp(
+                    self.cfg, p, batch, self.mesh, remat=self.tc.remat
+                )
             loss, count = sft_loss(self.cfg, p, batch, remat=self.tc.remat)
             return loss, count
 
