@@ -103,9 +103,12 @@ def run_stream(args):
             int(b)
             for b in os.environ.get("SVT_BENCH_BUCKETS", "640,1024").split(",")
         ),
-        # SVT_KV_QUANT=int8 stores the persistent arena int8 (A/B lever;
-        # halves arena HBM — the marginal cost per multi-stream lane)
-        kv_quant=os.environ.get("SVT_KV_QUANT", "none"),
+        # int8 KV arena is the BENCH default (library default stays "none"):
+        # halves persistent-arena HBM traffic and measured 1.26x single-
+        # stream via ABBA A/B (BENCH_AB_KVQUANT_r03.json); consistent with
+        # the int8 W8A8 weights the serving path already defaults to.
+        # SVT_KV_QUANT=none reverts (A/B lever).
+        kv_quant=os.environ.get("SVT_KV_QUANT", "int8"),
     )
     sampling = SamplingConfig(temperature=0.9, repetition_penalty=1.05, do_sample=True)
 
@@ -330,9 +333,10 @@ def run_multistream(args):
         prerotate_arena=(
             False if os.environ.get("SVT_PREROTATE") == "0" else None
         ),
-        # int8 lanes: halves each lane's persistent arena — at 7B this is
-        # what turns the B=6 prerotate OOM into a fit (docs/MULTISTREAM.md)
-        kv_quant=os.environ.get("SVT_KV_QUANT", "none"),
+        # int8 lanes (bench default, like the single-stream path): halves
+        # each lane's persistent arena — at 7B this is what turns the B=6
+        # prerotate OOM into a fit (docs/MULTISTREAM.md)
+        kv_quant=os.environ.get("SVT_KV_QUANT", "int8"),
     )
     sampling = SamplingConfig(temperature=0.9, repetition_penalty=1.05, do_sample=True)
 

@@ -261,6 +261,17 @@ def cmd_train(argv):
     p.add_argument("--save_steps", type=int, default=20)
     p.add_argument("--text_sink", type=int, default=512)
     p.add_argument("--text_sliding_window", type=int, default=512)
+    p.add_argument("--remat", default="full", choices=["none", "full", "dots"])
+    p.add_argument(
+        "--mesh", default=None,
+        help="device mesh as axis=N[,axis=N...] (e.g. 'data=2,model=4' for "
+             "FSDP+TP, 'stage=4' for pipeline, 'seq=4' for ring-attention "
+             "sequence parallelism — docs/PARALLELISM.md)",
+    )
+    p.add_argument(
+        "--parallel_mode", default="gspmd", choices=["gspmd", "pp", "sp"],
+        help="how the loss distributes over --mesh (TrainConfig.parallel_mode)",
+    )
     args = p.parse_args(argv)
 
     from .data.dataset import StreamDataset
@@ -268,6 +279,17 @@ def cmd_train(argv):
     from .train.trainer import TrainConfig, Trainer
 
     cfg, params, tokenizer, dtype = load_model(args.model_path)
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh, shard_params
+
+        shape = {
+            k: int(v)
+            for k, v in (kv.split("=", 1) for kv in args.mesh.split(","))
+        }
+        mesh = make_mesh(shape)
+        if args.parallel_mode == "gspmd":
+            params, _ = shard_params(params, mesh)
     ds = StreamDataset(
         args.train_annotation_paths,
         cfg=cfg,
@@ -284,7 +306,10 @@ def cmd_train(argv):
             max_steps=args.max_steps,
             grad_accum=args.grad_accum,
             save_steps=args.save_steps,
+            remat=args.remat,
+            parallel_mode=args.parallel_mode,
         ),
+        mesh=mesh,
     )
     trainer.train(ds)
 

@@ -356,3 +356,50 @@ def test_server_oversubscription_parked_snapshot_and_close(params):
     assert srv._lanes == lanes_before  # closing parked client frees no lane
     with pytest.raises(RuntimeError, match="client slots"):
         srv.attach(), srv.attach(), srv.attach()
+
+
+def test_server_over_dp_mesh_oversubscribed(params):
+    """The serving front-end composes with DP×TP lane sharding: a server
+    whose engine spans a ('data','model') mesh (lane dim sharded over
+    'data', weights replicated per group — shard_params_serving) serves
+    MORE clients than lanes; every delivered generation equals the solo
+    (unsharded) engines'. Covers oversubscription paging (snapshot/restore
+    of lane rows) against the DP-sharded stacked arena."""
+    from streaming_vlm_tpu.parallel.mesh import make_mesh, shard_params_serving
+
+    mesh = make_mesh({"data": 2, "model": 2})
+    sharded, _ = shard_params_serving(params, mesh)
+    ms = MultiStreamEngine(
+        CFG, sharded, _stream_cfg(), _greedy(), n_streams=2,
+        dtype=jnp.float32, mesh=mesh,
+    )
+    assert ms.k_arena.sharding.shard_shape(ms.k_arena.shape)[0] == 1
+    srv = MultiStreamServer(ms, end_bias=END_BIAS, max_clients=3)
+
+    queries = ["narrate the game", "describe the scene", "track the ball"]
+    solos = [
+        _solo_run(params, q, 2, seed0=1000 * (i + 1))
+        for i, q in enumerate(queries)
+    ]
+
+    clients = [srv.attach() for _ in range(3)]
+    builders = [PromptBuilder(TOK, FakeTokenizer(TOK)) for _ in range(3)]
+    got = [[] for _ in range(3)]
+    for rnd in range(2):
+        for c, (cl, bu, q) in enumerate(zip(clients, builders, queries)):
+            segs, patches = _chunk(bu, rnd, q, 1000 * (c + 1) + rnd)
+            cl.submit(segs, pixel_patches=patches, grid_thw=GRID)
+        # 3 pending clients over 2 lanes: two scheduler rounds drain the
+        # wave (2 active lanes, then the paged-in third)
+        assert srv.run_round_once() == 2
+        assert srv.run_round_once() == 1
+        for c, cl in enumerate(clients):
+            got[c].append(cl.get(timeout=1))
+
+    for c in range(3):
+        for i, (idx, gen) in enumerate(got[c]):
+            assert idx == i
+            np.testing.assert_array_equal(
+                solos[c][i], gen, err_msg=f"client {c} chunk {i}"
+            )
+    assert srv.swaps > 0  # paging really happened
