@@ -284,7 +284,7 @@ class VQAChat:
             )
             pad_id = tok.video_pad if video_grids else tok.image_pad
             (slots,) = np.nonzero(ids == pad_id)
-            embeds = embeds.at[jnp.asarray(slots, jnp.int32)].set(
+            embeds = embeds.at[jnp.asarray(slots.astype(np.int32))].set(
                 vis.astype(embeds.dtype)
             )
 

@@ -165,8 +165,10 @@ def forward_full(
         vis = encode_video(
             cfg, params, pixel_patches, tuple(tuple(int(x) for x in g) for g in grids)
         )
+        # host-side int32: a converting jnp.asarray would compile a tiny
+        # remote op on first use (engine._prepare_chunk has the measurement)
         (slots,) = np.nonzero(ids_np == pad_id)
-        embeds = merge_vision_embeds(embeds, vis, jnp.asarray(slots, jnp.int32))
+        embeds = merge_vision_embeds(embeds, vis, jnp.asarray(slots.astype(np.int32)))
 
     hidden = language.language_forward(
         cfg.text, params["text"], embeds, jnp.asarray(positions)

@@ -738,7 +738,11 @@ class StreamingEngine:
         zero = jnp.asarray(0, jnp.int32)
         eos = jnp.asarray(self.cfg.tokens.im_end, jnp.int32)
         for t_pad in buckets or st.prefill_buckets:
-            tokens = jnp.full((t_pad,), self.cfg.tokens.pad, jnp.int32)
+            # host numpy -> device_put, NOT jnp.full: the real chunk ships
+            # tokens from host, and the first host->device transfer of a new
+            # (shape, dtype) pays a ~35 ms handshake over the axon tunnel —
+            # warm the same path the stream will use
+            tokens = jnp.asarray(np.full(t_pad, self.cfg.tokens.pad, np.int32))
             for max_new in max_new_list or (st.max_tokens_per_chunk,):
                 for n_vis in vis_variants:
                     statics = ChunkStatics(
@@ -753,7 +757,12 @@ class StreamingEngine:
                         prerotate=st.effective_prerotate,
                     )
                     ve = None if n_vis is None else jnp.zeros((n_vis, D), self.dtype)
-                    vs = None if n_vis is None else jnp.arange(n_vis, dtype=jnp.int32)
+                    vs = (
+                        None
+                        if n_vis is None
+                        # host put, same path as the real chunk's vis_slots
+                        else jnp.asarray(np.arange(n_vis, dtype=np.int32))
+                    )
                     (
                         self.k_arena,
                         self.v_arena,
@@ -1073,12 +1082,16 @@ class StreamingEngine:
                 self.cfg, self.params, jnp.asarray(pixel_patches, self.dtype), (grid_thw,)
             )
         if vis_embeds is not None:
+            # np.nonzero yields int64; convert HOST-side. A dtype-converting
+            # jnp.asarray is a compiled op whose first call costs a remote
+            # tiny-op compile (~350-700 ms measured over the axon tunnel,
+            # below the persistent-cache threshold so every process repays
+            # it) — it was the chunk-0 latency spike (2.5x p50) that full
+            # executable prewarm could not remove. An int32 host array makes
+            # this a plain device_put.
             (slots,) = np.nonzero(chunk_ids == tkn.video_pad)
-            vis_slots = (
-                jnp.asarray(slots, jnp.int32)
-                if device_arrays
-                else slots.astype(np.int32)
-            )
+            slots = slots.astype(np.int32)
+            vis_slots = jnp.asarray(slots) if device_arrays else slots
 
         eos = tkn.im_end if eos_id is None else eos_id
         return {

@@ -695,7 +695,7 @@ class MultiStreamEngine:
                 extra_text=1,
             )
             slot_pos = {
-                k: jnp.stack([jnp.asarray(v)] * self.n) for k, v in desc.items()
+                k: jnp.asarray(np.tile(v, (self.n, 1))) for k, v in desc.items()
             }
         else:
             slot_pos = jnp.zeros((self.n, 3, C), jnp.float32)
@@ -704,7 +704,12 @@ class MultiStreamEngine:
         eos = jnp.full((self.n,), self.cfg.tokens.im_end, jnp.int32)
         n_compiled = 0
         for t_pad in buckets or st.prefill_buckets:
-            tokens = jnp.full((self.n, t_pad), self.cfg.tokens.pad, jnp.int32)
+            # host put, not jnp.full: warms the host->device transfer path
+            # the real round uses (first put of a new shape pays a ~35 ms
+            # tunnel handshake — see StreamingEngine.prewarm)
+            tokens = jnp.asarray(
+                np.full((self.n, t_pad), self.cfg.tokens.pad, np.int32)
+            )
             for max_new in max_new_list or (st.max_tokens_per_chunk,):
                 for n_vis in vis_variants:
                     statics = ChunkStatics(
@@ -726,7 +731,9 @@ class MultiStreamEngine:
                     vs = (
                         None
                         if n_vis is None
-                        else jnp.stack([jnp.arange(n_vis, dtype=jnp.int32)] * self.n)
+                        else jnp.asarray(
+                            np.tile(np.arange(n_vis, dtype=np.int32), (self.n, 1))
+                        )
                     )
                     (
                         self.k_arena,
