@@ -338,8 +338,13 @@ class MultiStreamEngine:
         preps = [
             e._prepare_chunk(
                 [] if idle[b] else list(chunk_segs[b]),
+                # pass the WHOLE stacked/mixed structure, never vis_embeds[b]:
+                # _prepare_chunk only checks not-None (vis_slots come from the
+                # lane's own chunk_ids), and an eager per-lane device slice
+                # costs B dispatches per round + tiny-op compiles on round 0
+                # (measured 0.8 s of the round-0 spike at B=4)
                 vis_embeds=(
-                    None if vis_embeds is None or idle[b] else vis_embeds[b]
+                    None if vis_embeds is None or idle[b] else vis_embeds
                 ),
                 grid_thw=(
                     None
@@ -428,7 +433,10 @@ class MultiStreamEngine:
                         rows.append(jnp.zeros((max_nv, D), self.dtype))
                 ve = jnp.stack(rows)
         elif vis_embeds is not None:
-            n_vis = int(np.asarray(vis_embeds).shape[1])
+            # .shape only — np.asarray here would copy the whole [B, N, D]
+            # embed tensor device->host (~17 MB at B=8) every round, blocking
+            # the host BEFORE the step dispatch while the device sits idle
+            n_vis = int(vis_embeds.shape[1])
             active_nv = {
                 p["vis_slots"].shape[0]
                 for b, p in enumerate(preps)
@@ -497,9 +505,15 @@ class MultiStreamEngine:
             self.rngs = jnp.where(keep, rngs_before, self.rngs)
         handles = []
         for b, (p, e) in enumerate(zip(preps, self.engines)):
+            # gen/n_gen stay None until finish_round fills them with numpy
+            # rows from the ONE batched fetch. Eager `gen[b]` device slices
+            # here would cost 2B tiny dispatches per round — and 2B tiny-op
+            # REMOTE COMPILES on round 0 (each static slice index is its own
+            # executable, ~300 ms each over the axon tunnel: measured as a
+            # 2.9x round-0 spike at B=4) — for values nothing ever reads.
             h = ChunkHandle(
-                gen=gen[b],
-                n_gen=n_gen[b],
+                gen=None,
+                n_gen=None,
                 n_real=p["n_real"],
                 next_p=p["next_p"] if st.pos_mode == "append" else 0.0,
                 eos=p["eos"],
@@ -759,6 +773,11 @@ class MultiStreamEngine:
                         jax.random.split(jax.random.PRNGKey(0), self.n),
                     )
                     n_compiled += 1
+        # idle-lane rng freeze (process_round_async): warm the bool-list
+        # asarray + where pair so the FIRST idle round doesn't pay their
+        # tiny-op remote compiles mid-stream
+        keep = jnp.asarray([False] * self.n)[:, None]
+        self.rngs = jnp.where(keep, self.rngs, self.rngs)
         jax.block_until_ready(self.k_arena)
         return n_compiled
 
