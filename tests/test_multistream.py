@@ -425,3 +425,85 @@ def test_per_lane_decode_budgets(params, vis_embeds_rounds):
         ms.engines[1].commit_assistant(out[1][0], end_bias, i)
     for e in ms.engines:
         assert e.cached + e.uncached_tail == e.table.total_len()
+
+
+def test_steady_round_has_no_eager_device_ops(params, vis_embeds_rounds):
+    """Dispatch-latency regression guard: a steady-state batched round must
+    perform ZERO eager primitive dispatches on the host path — every device
+    op rides a jitted executable (chunk_step_batched / compact_arena_batched)
+    and host arrays ship as plain device_puts.
+
+    Why it matters: each eager op is a per-round dispatch round-trip on a
+    remote-device link, and its FIRST use is a tiny-op compile that lands
+    mid-stream (measured 2026-08-19 on the axon tunnel: per-lane gen[b]
+    handle slices + a shape-read np.asarray copy made round 0 2.9x the
+    steady p50 and added ~220 ms to EVERY round at B=4 — see
+    docs/MULTISTREAM.md). jit calls and device_puts do not go through
+    jax._src.dispatch.apply_primitive; eager ops do."""
+    from unittest import mock
+
+    import jax._src.dispatch as dispatch
+
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=3, dtype=jnp.float32
+    )
+    builders = [PromptBuilder(TOK, FakeTokenizer(TOK)) for _ in STREAMS]
+    _, end_bias = builders[0].measure_biases()
+    for i in range(4):
+        segs = [
+            _chunk_segs(builders[b], i, q, s)
+            for b, (q, s) in enumerate(STREAMS)
+        ]
+        ve = jnp.asarray(vis_embeds_rounds[i])
+        if i < 3:  # warm rounds (incl. first eviction at window_size=2)
+            out = ms.process_round(segs, vis_embeds=ve, grid_thw=GRID)
+        else:  # steady round: count eager primitive binds
+            seen = []
+            orig = dispatch.apply_primitive
+
+            def counting(prim, *a, **k):
+                seen.append(str(prim))
+                return orig(prim, *a, **k)
+
+            with mock.patch.object(dispatch, "apply_primitive", counting):
+                handles = ms.process_round_async(
+                    segs, vis_embeds=ve, grid_thw=GRID
+                )
+                out = ms.finish_round(handles)
+            assert not seen, (
+                f"steady round dispatched eager device ops: {seen} — each is "
+                "a per-round host round-trip plus a first-use tiny-op compile "
+                "mid-stream; move it into a jitted step or ship host numpy"
+            )
+        ms.commit_assistant([g for g, _ in out], end_bias, i)
+
+
+def test_steady_chunk_has_no_eager_device_ops(params, vis_embeds_rounds):
+    """Single-stream twin of the round guard: steady process_chunk_async +
+    finish_chunk must not dispatch eager primitives (the chunk-0 spike class:
+    a dtype-converting jnp.asarray of np.nonzero's int64 output)."""
+    from unittest import mock
+
+    import jax._src.dispatch as dispatch
+
+    eng = StreamingEngine(CFG, params, _stream_cfg(), _greedy(), dtype=jnp.float32)
+    builder = PromptBuilder(TOK, FakeTokenizer(TOK))
+    _, end_bias = builder.measure_biases()
+    for i in range(4):
+        segs = _chunk_segs(builder, i, "describe the scene", 0.0)
+        ve = jnp.asarray(vis_embeds_rounds[i, 0])
+        if i < 3:
+            gen, _ = eng.process_chunk(segs, grid_thw=GRID, vis_embeds=ve)
+        else:
+            seen = []
+            orig = dispatch.apply_primitive
+
+            def counting(prim, *a, **k):
+                seen.append(str(prim))
+                return orig(prim, *a, **k)
+
+            with mock.patch.object(dispatch, "apply_primitive", counting):
+                h = eng.process_chunk_async(segs, vis_embeds=ve, grid_thw=GRID)
+                gen, _ = eng.finish_chunk(h)
+            assert not seen, f"steady chunk dispatched eager device ops: {seen}"
+        eng.commit_assistant(gen, end_bias, i)
