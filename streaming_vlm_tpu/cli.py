@@ -441,16 +441,24 @@ def cmd_vqa(argv):
 
 def cmd_demo(argv):
     """Live caption demo: browser player + SSE commentary stream (the
-    reference's Gradio app equivalent, baselines/livecc/demo/app.py)."""
+    reference's Gradio app equivalent, baselines/livecc/demo/app.py).
+    With MULTIPLE --video_path entries: one batched lane per video, all
+    streams served concurrently on one chip (demo/multiapp.py)."""
     p = argparse.ArgumentParser(prog="demo")
     p.add_argument("--model_path", required=True)
-    p.add_argument("--video_path", required=True)
+    p.add_argument("--video_path", required=True, nargs="+",
+                   help="one video = single-stream demo; several = one "
+                        "batched lane per video on one chip")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--query", default="Commentate on this match")
     p.add_argument("--previous_text", default="")
+    p.add_argument("--realtime", action="store_true",
+                   help="pace each stream to its video clock (live-camera "
+                        "simulation) instead of flat-out")
     p.add_argument("--render_out", default=None,
-                   help="also burn caption bubbles into an mp4 at this path")
+                   help="also burn caption bubbles into an mp4 at this path "
+                        "(single-video demo only)")
     p.add_argument("--quantize", default="int8", choices=["int8", "none"])
     args = p.parse_args(argv)
 
@@ -464,6 +472,19 @@ def cmd_demo(argv):
         # quantized — a second pass would crash on the {q,s} leaves
         if not is_model_quantized(params):
             params = quantize_model_params(params, donate=True)
+
+    if len(args.video_path) > 1:
+        from .demo.multiapp import MultiLiveCaptionServer
+
+        assert args.render_out is None, "--render_out is single-video only"
+        MultiLiveCaptionServer(
+            cfg, params, tokenizer, args.video_path,
+            queries=[args.query] * len(args.video_path),
+            previous_text=args.previous_text, realtime=args.realtime,
+            host=args.host, port=args.port, dtype=dtype,
+        ).serve_forever()
+        return
+    args.video_path = args.video_path[0]
 
     collected = []
 

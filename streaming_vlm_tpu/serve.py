@@ -175,33 +175,14 @@ class StreamingSession:
 
     def _build_segs(self, i: int, start_time: float, grid_thw, question: str = ""):
         """Per-round prompt segments (reference inference.py:370-388)."""
-        st = self.stream
-        spgt = 2.0 / st.fps  # reference pos_emb.py:104
-        end_time = start_time + st.chunk_duration
-        n_vid_tokens = (
-            int(grid_thw[0])
-            * (int(grid_thw[1]) // self.cfg.vision.spatial_merge_size)
-            * (int(grid_thw[2]) // self.cfg.vision.spatial_merge_size)
+        from .streaming.protocol import build_round_segs
+
+        return build_round_segs(
+            self.builder, self.stream, self.cfg.vision.spatial_merge_size,
+            i, start_time, grid_thw,
+            query=self.query, previous_text=self.previous_text,
+            question=question,
         )
-        segs = []
-        if i == 0:
-            segs.append(self.builder.system_segment())
-            segs.extend(self.builder.previous_text_segments(self.previous_text))
-            segs.extend(
-                self.builder.user_turn_segments(
-                    0, start_time, end_time, n_vid_tokens, tuple(grid_thw), spgt,
-                    query=self.query, question=question,
-                )
-            )
-        else:
-            segs.extend(
-                self.builder.user_turn_segments(
-                    i, start_time, end_time, n_vid_tokens, tuple(grid_thw), spgt,
-                    question=question,
-                )
-            )
-        segs.extend(self.builder.assistant_open_segments(i))
-        return segs
 
     def run_chunk_async(
         self,

@@ -157,6 +157,49 @@ class PromptBuilder:
         ]
 
 
+def build_round_segs(
+    builder: PromptBuilder,
+    stream_cfg,
+    spatial_merge_size: int,
+    i: int,
+    start_time: float,
+    grid_thw: Tuple[int, int, int],
+    *,
+    query: str = "",
+    previous_text: str = "",
+    question: str = "",
+) -> List[Seg]:
+    """One streaming round's prompt segments (reference inference.py:370-388):
+    round 0 carries system + previous-text + the task query; later rounds are
+    just the user turn. The canonical helper behind StreamingSession, the demo
+    apps, and bench.py — every serving front-end must emit the exact same
+    token layout or the segment-table invariants break."""
+    st = stream_cfg
+    spgt = 2.0 / st.fps  # reference pos_emb.py:104
+    end_time = start_time + st.chunk_duration
+    g = tuple(int(x) for x in grid_thw)
+    n_vid_tokens = g[0] * (g[1] // spatial_merge_size) * (g[2] // spatial_merge_size)
+    segs: List[Seg] = []
+    if i == 0:
+        segs.append(builder.system_segment())
+        segs.extend(builder.previous_text_segments(previous_text))
+        segs.extend(
+            builder.user_turn_segments(
+                0, start_time, end_time, n_vid_tokens, g, spgt,
+                query=query, question=question,
+            )
+        )
+    else:
+        segs.extend(
+            builder.user_turn_segments(
+                i, start_time, end_time, n_vid_tokens, g, spgt,
+                question=question,
+            )
+        )
+    segs.extend(builder.assistant_open_segments(i))
+    return segs
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer adapters
 # ---------------------------------------------------------------------------
