@@ -227,6 +227,17 @@ def run_stream(args):
         file=sys.stderr,
         flush=True,
     )
+    # SVT_TRACE_DIR: capture the measured chunk loop as a jax.profiler
+    # trace (post-prewarm, so the XPlane shows steady-state dispatch, not
+    # compiles). Works on CPU and over the axon tunnel (host-side events).
+    import contextlib as _ctx
+
+    _trace = _ctx.nullcontext()
+    if os.environ.get("SVT_TRACE_DIR"):
+        from streaming_vlm_tpu.utils.profiling import trace as _trace_cm
+
+        _trace = _trace_cm(os.environ["SVT_TRACE_DIR"])
+    _trace.__enter__()
     for i in range(n_chunks):
         t0c, t1c = i * chunk_duration, (i + 1) * chunk_duration
         segs = []
@@ -263,6 +274,7 @@ def run_stream(args):
             flush=True,
         )
 
+    _trace.__exit__(None, None, None)
     # steady window starts past the first eviction round; for short runs
     # (tiny CPU smoke) fall back to the second half
     start = window_size + 2

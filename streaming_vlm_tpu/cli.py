@@ -112,6 +112,9 @@ def cmd_serve(argv):
     p.add_argument("--recompute", action="store_true")
     p.add_argument("--emit_json", action="store_true")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--trace_dir", default=None,
+                   help="capture the run as a jax.profiler trace "
+                        "(TensorBoard XPlane dump under this dir)")
     args = p.parse_args(argv)
 
     from .config import SamplingConfig, StreamConfig
@@ -145,6 +148,7 @@ def cmd_serve(argv):
         quiet=args.quiet,
         emit_json=args.emit_json,
         recompute=args.recompute,
+        trace_dir=args.trace_dir,
         dtype=dtype,
     )
 

@@ -282,6 +282,7 @@ def streaming_inference(
     recompute: bool = False,
     spec_decode: bool = False,
     resume_snapshot: Optional[Dict] = None,  # streaming/snapshot.py dict
+    trace_dir: Optional[str] = None,  # jax.profiler XPlane dump directory
     dtype=None,
 ):
     """Chunked streaming inference over a video file. Returns the list of
@@ -292,7 +293,18 @@ def streaming_inference(
     `resume_snapshot` (from StreamingSession.snapshot() or
     snapshot.load_snapshot) continues an interrupted run of the SAME
     video/config from its chunk_index — fault recovery for long streams;
-    the VTT appends and the returned lists cover only the resumed chunks."""
+    the VTT appends and the returned lists cover only the resumed chunks.
+
+    `trace_dir` captures the whole run as a jax.profiler trace (TensorBoard
+    XPlane under trace_dir; the deep-tracing layer the reference lacks —
+    its only instrumentation is the wall-clock sections, inference.py:
+    312-329, which we also keep)."""
+    if trace_dir is not None:
+        kw = {k: v for k, v in locals().items() if k != "trace_dir"}
+        from .utils.profiling import trace
+
+        with trace(trace_dir):
+            return streaming_inference(trace_dir=None, **kw)
     from .utils.vtt import open_vtt, sec2ts
     from .video.ingest import ChunkedVideoSource
 
