@@ -49,6 +49,11 @@ class TrainConfig:
     # reference's gradient_checkpointing recipe (sft_stage_1.sh:45); "none"
     # is faster when memory allows, "dots" in between
     remat: str = "full"
+    # examples decoded ahead on a background thread while the device steps
+    # (the reference hides its CPU-heavy __getitem__ behind 32 dataloader
+    # workers, sft_stage_1.sh:45 dataloader_num_workers; here one worker
+    # suffices because only the video decode is host-bound). 0 = synchronous.
+    prefetch: int = 2
     # how the loss distributes over the Trainer's mesh (docs/PARALLELISM.md):
     # "gspmd" = DP/FSDP/TP via the sharding rules (params pre-sharded with
     # shard_params, collectives inferred); "pp" = GPipe over a 'stage' axis
@@ -213,36 +218,66 @@ class Trainer:
         text_params = self.params["text"]
         opt_state = self.opt_state
         ga = max(self.tc.grad_accum, 1)
-        while self.step // ga < max_steps:
-            ex = dataset[int(order[di % len(order)])]
-            di += 1
-            batch = self._prepare_batch(ex)
-            t0 = time.perf_counter()
-            text_params, opt_state, metrics = self._jit_step(
-                text_params, opt_state, self._vision_params, batch
-            )
-            loss = float(metrics["loss"])
-            self.step += 1
-            opt_boundary = self.step % ga == 0
-            if self.step % self.tc.log_every == 0:
-                rec = {
-                    "step": self.step,
-                    "opt_step": self.step // ga,
-                    "loss": loss,
-                    "labeled_tokens": int(metrics["labeled_tokens"]),
-                    "grad_norm": float(metrics["grad_norm"]),
-                    "step_time": time.perf_counter() - t0,
-                }
-                self._metrics_f.write(json.dumps(rec) + "\n")
-                self._metrics_f.flush()
-                if self._wandb:
-                    self._wandb.log(rec, step=self.step)
-            # save every save_steps OPTIMIZER steps (at accumulation
-            # boundaries only, so resumed runs never replay partial updates)
-            if opt_boundary and (self.step // ga) % self.tc.save_steps == 0:
-                self.params = {"text": text_params, "vision": self._vision_params}
-                self.opt_state = opt_state
-                self.save_checkpoint()
+
+        # data pipeline: ONE background worker decodes example di+prefetch
+        # while the device runs step di (order-preserving, so runs are
+        # bitwise-identical to prefetch=0); dataset-level retry/resample
+        # still happens inside __getitem__ on the worker
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        pf = max(int(self.tc.prefetch), 0)
+        pool = ThreadPoolExecutor(max_workers=1) if pf else None
+
+        def fetch(j: int):
+            return dataset[int(order[j % len(order)])]
+
+        pending = collections.deque(
+            pool.submit(fetch, di + k) for k in range(pf)
+        ) if pf else None
+        try:
+            while self.step // ga < max_steps:
+                if pf:
+                    ex = pending.popleft().result()
+                    pending.append(pool.submit(fetch, di + pf))
+                else:
+                    ex = fetch(di)
+                di += 1
+                batch = self._prepare_batch(ex)
+                t0 = time.perf_counter()
+                text_params, opt_state, metrics = self._jit_step(
+                    text_params, opt_state, self._vision_params, batch
+                )
+                self.step += 1
+                opt_boundary = self.step % ga == 0
+                if self.step % self.tc.log_every == 0:
+                    # float() is the only device sync in the loop — at
+                    # log_every > 1 the host runs ahead and the dispatch of
+                    # step i+1 overlaps step i's device time
+                    rec = {
+                        "step": self.step,
+                        "opt_step": self.step // ga,
+                        "loss": float(metrics["loss"]),
+                        "labeled_tokens": int(metrics["labeled_tokens"]),
+                        "grad_norm": float(metrics["grad_norm"]),
+                        "step_time": time.perf_counter() - t0,
+                    }
+                    self._metrics_f.write(json.dumps(rec) + "\n")
+                    self._metrics_f.flush()
+                    if self._wandb:
+                        self._wandb.log(rec, step=self.step)
+                # save every save_steps OPTIMIZER steps (at accumulation
+                # boundaries only, so resumed runs never replay partial
+                # updates)
+                if opt_boundary and (self.step // ga) % self.tc.save_steps == 0:
+                    self.params = {
+                        "text": text_params, "vision": self._vision_params,
+                    }
+                    self.opt_state = opt_state
+                    self.save_checkpoint()
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
         self.params = {"text": text_params, "vision": self._vision_params}
         self.opt_state = opt_state
         return self.params

@@ -136,6 +136,35 @@ def test_trainer_runs_and_resumes(annotation, tmp_path):
     assert tr2.step == 3
 
 
+def test_trainer_prefetch_matches_synchronous(annotation, tmp_path):
+    """prefetch>0 only moves dataset decode to a worker thread: metrics and
+    final params must be bitwise what the synchronous loop produces."""
+    ds = StreamDataset(
+        [annotation],
+        cfg=CFG,
+        encode=FakeTokenizer(TOK),
+        video=VideoConfig(fps=2.0, video_min_pixels=28 * 28, video_max_pixels=16 * 28 * 28),
+    )
+    outs = {}
+    for pf in (0, 2):
+        params = model.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+        out = str(tmp_path / f"run_pf{pf}")
+        tc = TrainConfig(
+            output_dir=out, learning_rate=1e-3, warmup_steps=1, max_steps=3,
+            grad_accum=1, save_steps=10, seq_buckets=(1024,),
+            vis_buckets=(256,), prefetch=pf,
+        )
+        tr = Trainer(CFG, params, tc)
+        final = tr.train(ds, resume=False)
+        with open(os.path.join(out, "metrics.jsonl")) as f:
+            recs = [json.loads(l) for l in f]
+        outs[pf] = ([r["loss"] for r in recs], final)
+    assert outs[0][0] == outs[2][0]
+    a = jax.tree_util.tree_leaves(outs[0][1])
+    b = jax.tree_util.tree_leaves(outs[2][1])
+    assert all(np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+
+
 def test_dataset_driven_inference_with_gt(annotation):
     from streaming_vlm_tpu.config import SamplingConfig, StreamConfig
     from streaming_vlm_tpu.data.dataset import get_ground_truth
