@@ -34,8 +34,14 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .multistream import MultiStreamEngine
+from .segments import VISION
 
 __all__ = ["MultiStreamServer", "StreamClient"]
+
+# Sentinel pushed into every client's result queue when the server
+# fail-stops: wakes any get() blocked with no timeout so it raises the
+# server error instead of hanging forever.
+_FAILED = object()
 
 
 class StreamClient:
@@ -67,10 +73,30 @@ class StreamClient:
         # round keep their own budgets (per-lane n_max in the batched step)
     ) -> None:
         """Enqueue one chunk (segments + optional vision patches). The
-        server picks it up on its next round."""
+        server picks it up on its next round. Malformed submissions raise
+        HERE, in the caller's thread — a bad chunk must never reach the
+        round loop, where a failure is fatal for every client (fail-stop,
+        see MultiStreamServer.error)."""
         assert not self.closed, "client closed"
+        self._server._check_alive()
         if pixel_patches is not None:
             assert grid_thw is not None
+            cfg = self._server.engine.cfg
+            n_patches = int(np.prod([int(x) for x in grid_thw]))
+            if int(pixel_patches.shape[0]) != n_patches:
+                raise ValueError(
+                    f"pixel_patches has {pixel_patches.shape[0]} rows but "
+                    f"grid {tuple(grid_thw)} implies {n_patches}"
+                )
+            n_vis = n_patches // cfg.vision.spatial_merge_unit
+            n_pad = sum(
+                len(s.ids) for s in chunk_segs if s.kind == VISION
+            )
+            if n_pad != n_vis:
+                raise ValueError(
+                    f"chunk carries {n_pad} video_pad tokens but grid "
+                    f"{tuple(grid_thw)} implies {n_vis}"
+                )
         self._pending.put(
             {
                 "segs": chunk_segs,
@@ -87,8 +113,15 @@ class StreamClient:
 
     def get(self, timeout: Optional[float] = None) -> Tuple[int, np.ndarray]:
         """Next (chunk_index, generated ids incl. eos). Raises queue.Empty
-        on timeout."""
-        return self._results.get(timeout=timeout)
+        on timeout, or RuntimeError (chaining the original exception) if the
+        server has fail-stopped — a blocked get() is woken, never hangs."""
+        item = self._results.get(timeout=timeout)
+        if item is _FAILED:
+            # re-arm so every subsequent/concurrent get() also raises
+            self._results.put(_FAILED)
+            self._server._check_alive()
+            raise RuntimeError("server fail-stopped")  # unreachable guard
+        return item
 
     def snapshot(self) -> Dict[str, Any]:
         """Serialize this client's live stream (streaming/snapshot.py) —
@@ -152,6 +185,34 @@ class MultiStreamServer:
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self._wake = threading.Event()
+        # FAIL-STOP: first exception out of a round. A mid-round failure can
+        # leave lane accounting / engine state inconsistent, so the server
+        # refuses all further work instead of limping (the reference's
+        # single-process-per-stream shape gets this for free; a batched
+        # server must make one stream's blast radius explicit). Submit-time
+        # validation (StreamClient.submit) keeps per-client mistakes out of
+        # this path entirely.
+        self.error: Optional[BaseException] = None
+
+    def _check_alive(self) -> None:
+        if self.error is not None:
+            raise RuntimeError(
+                "MultiStreamServer has fail-stopped after an error in a "
+                "batched round; state may be inconsistent — attach clients "
+                "to a fresh server (snapshots taken before the failure "
+                "remain valid)"
+            ) from self.error
+
+    def _fail(self, exc: BaseException) -> None:
+        """Record the first round failure and wake every client: any get()
+        blocked without a timeout must raise, not hang. Caller may or may
+        not hold the lock — only queue puts + flag writes here, both
+        thread-safe."""
+        if self.error is None:
+            self.error = exc
+        self._stop.set()
+        for c in list(self._all):
+            c._results.put(_FAILED)
 
     # ------------------------------------------------------------- lifecycle
     def attach(
@@ -168,6 +229,7 @@ class MultiStreamServer:
         servers, processes or chips — and its chunk clock continues at the
         snapshot's chunk_index. Raises RuntimeError at max_clients —
         callers queue or scale out."""
+        self._check_alive()
         with self._lock:
             if len(self._all) >= self.max_clients:
                 raise RuntimeError(
@@ -249,9 +311,15 @@ class MultiStreamServer:
         round. Returns the number of active lanes (0 = nothing to do).
         Holds the server lock for the whole round: attach/detach from other
         threads serialise against in-flight rounds (a reset mid-round would
-        corrupt lane accounting)."""
+        corrupt lane accounting). Any exception fail-stops the server (see
+        `error`) and re-raises."""
+        self._check_alive()
         with self._lock:
-            return self._round_locked()
+            try:
+                return self._round_locked()
+            except BaseException as exc:
+                self._fail(exc)
+                raise
 
     def _round_locked(self) -> int:
         # -- schedule: serve the oldest-submitted chunks first (FIFO over
@@ -332,7 +400,14 @@ class MultiStreamServer:
 
         def loop():
             while not self._stop.is_set():
-                if self.run_round_once() == 0:
+                try:
+                    n = self.run_round_once()
+                except BaseException:
+                    # already recorded + clients woken by run_round_once's
+                    # _fail; the thread exits instead of spinning on a dead
+                    # server
+                    return
+                if n == 0:
                     self._wake.wait(timeout=poll_s)
                     self._wake.clear()
 

@@ -403,3 +403,75 @@ def test_server_over_dp_mesh_oversubscribed(params):
                 solos[c][i], gen, err_msg=f"client {c} chunk {i}"
             )
     assert srv.swaps > 0  # paging really happened
+
+
+def test_submit_validation_rejects_malformed(params):
+    """Malformed submissions raise in the CLIENT's thread, before reaching
+    the round loop (where a failure is fatal for every client), and the
+    server keeps serving good chunks afterwards."""
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv = MultiStreamServer(ms, end_bias=END_BIAS)
+    a = srv.attach()
+    bld = PromptBuilder(TOK, FakeTokenizer(TOK))
+    segs, patches = _chunk(bld, 0, "narrate the game", 100)
+
+    with pytest.raises(ValueError, match="rows but"):
+        a.submit(segs, pixel_patches=patches[:-1], grid_thw=GRID)
+    with pytest.raises(ValueError, match="video_pad tokens"):
+        bad_grid = (1, GRID[1] * 2, GRID[2])
+        bad_patches = np.concatenate([patches, patches], axis=0)
+        a.submit(segs, pixel_patches=bad_patches, grid_thw=bad_grid)
+
+    # nothing reached the queue; the server still serves correctly
+    solo = _solo_run(params, "narrate the game", 1, seed0=100)
+    a.submit(segs, pixel_patches=patches, grid_thw=GRID)
+    assert srv.run_round_once() == 1
+    idx, gen = a.get(timeout=1)
+    assert idx == 0
+    np.testing.assert_array_equal(solo[0], gen)
+    assert srv.error is None
+
+
+def test_server_fail_stop_wakes_blocked_get(params):
+    """A failure inside a batched round fail-stops the server: every
+    blocked get() raises (never hangs), and attach/submit/run_round_once
+    refuse further work with the original exception chained."""
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv = MultiStreamServer(ms, end_bias=END_BIAS)
+    srv.start()
+    try:
+        a = srv.attach()
+        b = srv.attach()
+        bld = PromptBuilder(TOK, FakeTokenizer(TOK))
+
+        boom = RuntimeError("injected round failure")
+
+        def _explode(*args, **kwargs):
+            raise boom
+
+        ms.process_round = _explode  # fails mid-round, past validation
+        segs, patches = _chunk(bld, 0, "narrate the game", 100)
+        a.submit(segs, pixel_patches=patches, grid_thw=GRID)
+
+        # BOTH clients' get() raise — including b, which never submitted
+        with pytest.raises(RuntimeError, match="fail-stopped"):
+            a.get(timeout=30)
+        with pytest.raises(RuntimeError, match="fail-stopped"):
+            b.get(timeout=30)
+        assert srv.error is boom
+        # repeated get() keeps raising (sentinel re-armed)
+        with pytest.raises(RuntimeError, match="fail-stopped"):
+            a.get(timeout=1)
+        # further work is refused, chaining the original error
+        with pytest.raises(RuntimeError, match="fail-stopped"):
+            a.submit(segs, pixel_patches=patches, grid_thw=GRID)
+        with pytest.raises(RuntimeError, match="fail-stopped"):
+            srv.attach()
+        with pytest.raises(RuntimeError, match="fail-stopped"):
+            srv.run_round_once()
+    finally:
+        srv.stop()
