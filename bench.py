@@ -595,11 +595,20 @@ def run_with_retries(args, argv):
             # formulation is a different executable than the frames one
             worker_argv += ["--vision", "patches"]
             print("[retry] switching to --vision patches", file=sys.stderr, flush=True)
-        # stderr inherits (live per-chunk progress); stdout captured for JSON
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)] + worker_argv,
-            env=env, stdout=subprocess.PIPE, text=True, timeout=7200,
-        )
+        # stderr inherits (live per-chunk progress); stdout captured for JSON.
+        # A fully-down tunnel HANGS the first device op (it does not fault),
+        # so each attempt gets a hard wall-clock cap — a normal worker run is
+        # ~10-15 min incl. cold compiles; TimeoutExpired counts as a failed
+        # attempt instead of killing the retry loop.
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + worker_argv,
+                env=env, stdout=subprocess.PIPE, text=True, timeout=2700,
+            )
+        except subprocess.TimeoutExpired:
+            print("[retry] attempt hung 45 min — tunnel down?", file=sys.stderr,
+                  flush=True)
+            continue
         lines = [l for l in (out.stdout or "").strip().splitlines() if l.startswith("{")]
         if out.returncode == 0 and lines:
             print(lines[-1])
