@@ -79,7 +79,23 @@ class StreamClient:
         see MultiStreamServer.error)."""
         assert not self.closed, "client closed"
         self._server._check_alive()
-        if pixel_patches is not None:
+        st = self._server.engine.stream
+        n_tok = sum(len(s.ids) for s in chunk_segs)
+        if n_tok > max(st.prefill_buckets):
+            raise ValueError(
+                f"chunk has {n_tok} tokens, above the largest prefill "
+                f"bucket {max(st.prefill_buckets)}; split the chunk or "
+                f"serve with larger prefill_buckets"
+            )
+        n_pad = sum(len(s.ids) for s in chunk_segs if s.kind == VISION)
+        if pixel_patches is None:
+            if n_pad:
+                raise ValueError(
+                    f"chunk carries {n_pad} video_pad tokens but no "
+                    f"pixel_patches; the model would attend to garbage "
+                    f"placeholder embeddings"
+                )
+        else:
             assert grid_thw is not None
             cfg = self._server.engine.cfg
             n_patches = int(np.prod([int(x) for x in grid_thw]))
@@ -89,9 +105,6 @@ class StreamClient:
                     f"grid {tuple(grid_thw)} implies {n_patches}"
                 )
             n_vis = n_patches // cfg.vision.spatial_merge_unit
-            n_pad = sum(
-                len(s.ids) for s in chunk_segs if s.kind == VISION
-            )
             if n_pad != n_vis:
                 raise ValueError(
                     f"chunk carries {n_pad} video_pad tokens but grid "
@@ -228,8 +241,15 @@ class MultiStreamServer:
         client RESUMES that stream mid-flight — live migration between
         servers, processes or chips — and its chunk clock continues at the
         snapshot's chunk_index. Raises RuntimeError at max_clients —
-        callers queue or scale out."""
+        callers queue or scale out. An incompatible snapshot raises
+        ValueError HERE: on an oversubscribed server placement happens
+        lazily inside a batched round, where a restore failure would
+        fail-stop every client."""
         self._check_alive()
+        if snapshot is not None:
+            from .snapshot import validate_snapshot
+
+            validate_snapshot(snapshot, self.engine.stream)
         with self._lock:
             if len(self._all) >= self.max_clients:
                 raise RuntimeError(

@@ -437,10 +437,15 @@ class MultiStreamEngine:
             # embed tensor device->host (~17 MB at B=8) every round, blocking
             # the host BEFORE the step dispatch while the device sits idle
             n_vis = int(vis_embeds.shape[1])
+            # a text-only ACTIVE lane still preps against the stacked
+            # vis_embeds and gets an EMPTY (not None) vis_slots — it has no
+            # video_pad tokens this round and must count as visionless
             active_nv = {
                 p["vis_slots"].shape[0]
                 for b, p in enumerate(preps)
-                if not idle[b] and p["vis_slots"] is not None
+                if not idle[b]
+                and p["vis_slots"] is not None
+                and p["vis_slots"].shape[0]
             }
             assert active_nv <= {n_vis}, (
                 "every stream chunk carrying video must carry the round's "
@@ -451,7 +456,7 @@ class MultiStreamEngine:
             # scatter drops their rows of vis_embeds
             vs = np.full((self.n, n_vis), t_pad, np.int32)
             for b, p in enumerate(preps):
-                if p["vis_slots"] is not None:
+                if p["vis_slots"] is not None and p["vis_slots"].shape[0]:
                     vs[b] = np.asarray(p["vis_slots"])
             ve = (
                 vis_embeds
@@ -701,6 +706,27 @@ class MultiStreamEngine:
             vis_variants.append(int(np.prod(g)) // mu)
         if include_no_vision or not grids:
             vis_variants.append(None)
+
+        # mixed-grid rounds (process_round_async with a per-lane embeds
+        # list) pad each lane's [nb, D] embeds to the round max and stack B
+        # rows — eager tiny ops whose FIRST use would otherwise pay a
+        # remote compile mid-stream (the chunk-0-spike class; CLAUDE.md:
+        # never introduce first-use tiny eager ops after prewarm). Warm
+        # every (nb -> max_nv) pad, the visionless-lane zeros, and the
+        # stack, for all counts the given grids can produce.
+        counts = sorted({v for v in vis_variants if v is not None})
+        if len(counts) > 1:
+            for mx in counts[1:]:
+                z = jnp.zeros((mx, D), self.dtype)
+                jax.block_until_ready(jnp.stack([z] * self.n))
+                for nb in counts:
+                    if nb < mx:
+                        jax.block_until_ready(
+                            jnp.pad(
+                                jnp.zeros((nb, D), self.dtype),
+                                ((0, mx - nb), (0, 0)),
+                            )
+                        )
 
         if st.pos_mode == "shrink":
             desc, _, _, _ = self.engines[0].table.position_descriptors(

@@ -119,28 +119,55 @@ def snapshot_host(engine) -> Dict[str, Any]:
     }
 
 
+def validate_snapshot(snap: Dict[str, Any], stream) -> None:
+    """Check a snapshot is restorable onto an engine built from `stream`
+    (StreamConfig) WITHOUT touching any engine. Raises ValueError naming the
+    mismatch. Used by restore_host, and by serving front-ends at admission
+    time — a bad snapshot must be rejected in the caller's thread, not
+    inside a batched round where the failure fail-stops every client
+    (multiserve.MultiStreamServer.attach)."""
+    for key in ("version", "kv_quant", "pos_mode", "cached", "uncached_tail",
+                "table", "rng", "pos", "chunk_index", "next_pos", "all_text"):
+        if key not in snap:
+            raise ValueError(f"snapshot is missing field {key!r}")
+    if snap["version"] != SNAPSHOT_VERSION:
+        raise ValueError(
+            f"snapshot version {snap['version']!r} != {SNAPSHOT_VERSION!r}"
+        )
+    if stream.kv_quant != snap["kv_quant"]:
+        raise ValueError(
+            f"snapshot arena is kv_quant={snap['kv_quant']!r}, engine is "
+            f"{stream.kv_quant!r}"
+        )
+    if stream.pos_mode != snap["pos_mode"]:
+        raise ValueError(
+            f"snapshot positions are pos_mode={snap['pos_mode']!r}, engine "
+            f"is {stream.pos_mode!r}"
+        )
+    n = int(snap["cached"])
+    if n > stream.kv_capacity:
+        raise ValueError(
+            f"snapshot holds {n} cached slots; engine kv_capacity="
+            f"{stream.kv_capacity} cannot hold them"
+        )
+    total = sum(len(d["ids"]) for d in snap["table"])
+    if total != n + int(snap["uncached_tail"]):
+        raise ValueError(
+            f"snapshot table holds {total} tokens but cached+uncached_tail="
+            f"{n + int(snap['uncached_tail'])}"
+        )
+
+
 def restore_host(engine, snap: Dict[str, Any]) -> None:
     """Set a (freshly constructed) StreamingEngine's host state from a
     snapshot. The engine's stream config must agree on the invariant-bearing
     fields; capacity may differ (>= cached)."""
     from .segments import Seg, SegmentTable
 
-    assert snap["version"] == SNAPSHOT_VERSION, snap["version"]
     assert engine._inflight is None
+    validate_snapshot(snap, engine.stream)
     st = engine.stream
-    assert st.kv_quant == snap["kv_quant"], (
-        f"snapshot arena is kv_quant={snap['kv_quant']!r}, engine is "
-        f"{st.kv_quant!r}"
-    )
-    assert st.pos_mode == snap["pos_mode"], (
-        f"snapshot positions are pos_mode={snap['pos_mode']!r}, engine is "
-        f"{st.pos_mode!r}"
-    )
     n = int(snap["cached"])
-    assert n <= st.kv_capacity, (
-        f"snapshot holds {n} cached slots; engine kv_capacity="
-        f"{st.kv_capacity} cannot hold them"
-    )
     table = SegmentTable(all_text=bool(snap["all_text"]))
     for d in snap["table"]:
         table.segs.append(

@@ -423,6 +423,16 @@ def test_submit_validation_rejects_malformed(params):
         bad_grid = (1, GRID[1] * 2, GRID[2])
         bad_patches = np.concatenate([patches, patches], axis=0)
         a.submit(segs, pixel_patches=bad_patches, grid_thw=bad_grid)
+    # video_pad tokens with no pixels at all: the model would silently
+    # attend to garbage placeholder embeddings
+    with pytest.raises(ValueError, match="no.*pixel_patches|pixel_patches"):
+        a.submit(segs)
+    # a chunk above the largest prefill bucket would raise inside the
+    # batched round and fail-stop every client
+    huge = [bld.system_segment() for _ in range(40)]
+    assert sum(len(s.ids) for s in huge) > 128
+    with pytest.raises(ValueError, match="prefill"):
+        a.submit(huge)
 
     # nothing reached the queue; the server still serves correctly
     solo = _solo_run(params, "narrate the game", 1, seed0=100)
@@ -475,3 +485,31 @@ def test_server_fail_stop_wakes_blocked_get(params):
             srv.run_round_once()
     finally:
         srv.stop()
+
+
+def test_attach_rejects_incompatible_snapshot(params):
+    """attach(snapshot=...) validates the snapshot in the CALLER's thread:
+    on an oversubscribed server, placement happens lazily inside a batched
+    round, where a restore failure would fail-stop every client."""
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv = MultiStreamServer(ms, end_bias=END_BIAS)
+    a = srv.attach()
+    bld = PromptBuilder(TOK, FakeTokenizer(TOK))
+    segs, patches = _chunk(bld, 0, "narrate the game", 100)
+    a.submit(segs, pixel_patches=patches, grid_thw=GRID)
+    srv.run_round_once()
+    a.get(timeout=1)
+    snap = a.snapshot()
+
+    bad = dict(snap, kv_quant="int8")
+    with pytest.raises(ValueError, match="kv_quant"):
+        srv.attach(snapshot=bad)
+    bad = dict(snap)
+    del bad["table"]
+    with pytest.raises(ValueError, match="missing field"):
+        srv.attach(snapshot=bad)
+    # the good snapshot still attaches, and the server is not fail-stopped
+    m = srv.attach(snapshot=snap)
+    assert m.chunk_index == 1 and srv.error is None

@@ -507,3 +507,58 @@ def test_steady_chunk_has_no_eager_device_ops(params, vis_embeds_rounds):
                 gen, _ = eng.finish_chunk(h)
             assert not seen, f"steady chunk dispatched eager device ops: {seen}"
         eng.commit_assistant(gen, end_bias, i)
+
+
+def test_text_only_active_lane_in_uniform_vision_round(params, vis_embeds_rounds):
+    """An ACTIVE lane whose chunk carries no video_pad tokens rides a
+    uniform (stacked-embeds) vision round as visionless: its row of the
+    stacked vis_embeds is scatter-dropped and its output equals a solo
+    engine fed the same text-only chunk with no embeds at all. (Regression:
+    the empty — not None — vis_slots of a text-only prep used to trip the
+    uniform-count assertion.)"""
+    n_rounds = 3
+    text_only_round = 1  # lane 1's text-only round
+
+    # solo references: lane 0 all-video; lane 1 text-only at round 1
+    solo = [[], []]
+    for b, (q, s) in enumerate(STREAMS[:2]):
+        eng = StreamingEngine(CFG, params, _stream_cfg(), _greedy(), dtype=jnp.float32)
+        bld = PromptBuilder(TOK, FakeTokenizer(TOK))
+        _, end_bias = bld.measure_biases()
+        for i in range(n_rounds):
+            if b == 1 and i == text_only_round:
+                segs = _chunk_segs(bld, i, q, s, n_vid=0)
+                gen, _ = eng.process_chunk(segs, grid_thw=GRID)
+            else:
+                segs = _chunk_segs(bld, i, q, s)
+                gen, _ = eng.process_chunk(
+                    segs, grid_thw=GRID,
+                    vis_embeds=jnp.asarray(vis_embeds_rounds[i, b]),
+                )
+            eng.commit_assistant(gen, end_bias, i)
+            solo[b].append(np.asarray(gen))
+
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    builders = [PromptBuilder(TOK, FakeTokenizer(TOK)) for _ in STREAMS[:2]]
+    _, end_bias = builders[0].measure_biases()
+    for i in range(n_rounds):
+        segs = []
+        for b, (q, s) in enumerate(STREAMS[:2]):
+            n_vid = 0 if (b == 1 and i == text_only_round) else N_VID_TOK
+            segs.append(_chunk_segs(builders[b], i, q, s, n_vid=n_vid))
+        out = ms.process_round(
+            segs,
+            vis_embeds=jnp.asarray(vis_embeds_rounds[i, :2]),
+            grid_thw=GRID,
+        )
+        gens = [g for g, _ in out]
+        ms.commit_assistant(gens, end_bias, i)
+        for b, g in enumerate(gens):
+            np.testing.assert_array_equal(
+                solo[b][i], np.asarray(g),
+                err_msg=f"stream {b} round {i}: batched != solo",
+            )
+    for e in ms.engines:
+        assert e.cached + e.uncached_tail == e.table.total_len()

@@ -220,7 +220,7 @@ def test_restore_rejects_mismatched_representation(params, vis_rounds):
     _drive(eng, builder, eb, 0, 1, vis_rounds)
     snap = eng.snapshot()
     eng2, _, _ = _fresh(params, _stream_cfg(kv_quant="int8"))
-    with pytest.raises(AssertionError, match="kv_quant"):
+    with pytest.raises(ValueError, match="kv_quant"):
         eng2.restore(snap)
 
 
