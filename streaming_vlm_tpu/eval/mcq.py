@@ -147,6 +147,14 @@ def mcq_predict_batch(
     positions = np.zeros((B, 3, T), np.float32)
     slots = None
     grids = None if video_grid_thw is None else np.asarray([video_grid_thw])
+    # same pairing guards the mixed path enforces per question — without
+    # them a partial input fails deep inside vmap with an opaque axis error
+    assert pixel_patches is None or video_grid_thw is not None, (
+        "pixel_patches without video_grid_thw"
+    )
+    assert video_grid_thw is None or pixel_patches is not None, (
+        "video_grid_thw without pixel_patches"
+    )
     for b, row in enumerate(ids_list):
         L = len(row)
         ids[b, :L] = row

@@ -30,6 +30,7 @@ from ..config import ModelConfig, SamplingConfig, StreamConfig
 from ..models.qwen25_vl import language, model
 from ..ops.quant import dequantize_kv, quantize_kv
 from ..ops.sampling import sample_token
+from ..utils.buckets import bucket_for
 
 Params = Dict[str, Any]
 
@@ -443,14 +444,13 @@ def _chunk_step_impl(
 
 
 def _bucket(n: int, buckets) -> int:
-    for b in buckets:
-        if n <= b:
-            return b
-    raise ValueError(
-        f"chunk of {n} tokens exceeds the largest prefill bucket "
-        f"{buckets[-1]}. Fix: add a bucket >= {n} to "
-        f"StreamConfig.prefill_buckets (each bucket compiles its own "
-        f"chunk_step executable), or split the chunk."
+    return bucket_for(
+        n, buckets, what="chunk",
+        fix=(
+            f" Fix: add a bucket >= {n} to StreamConfig.prefill_buckets "
+            f"(each bucket compiles its own chunk_step executable), or "
+            f"split the chunk."
+        ),
     )
 
 

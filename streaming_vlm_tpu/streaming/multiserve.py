@@ -33,6 +33,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from .engine import _bucket
 from .multistream import MultiStreamEngine
 from .segments import VISION
 
@@ -42,6 +43,15 @@ __all__ = ["MultiStreamServer", "StreamClient"]
 # fail-stops: wakes any get() blocked with no timeout so it raises the
 # server error instead of hanging forever.
 _FAILED = object()
+
+
+class _ClientError:
+    """One rejected chunk, delivered through the owning client's result
+    queue: get() raises the wrapped error ONCE and the client stays usable
+    (unlike _FAILED, which is server-fatal and re-arms)."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
 
 
 class StreamClient:
@@ -134,6 +144,10 @@ class StreamClient:
             self._results.put(_FAILED)
             self._server._check_alive()
             raise RuntimeError("server fail-stopped")  # unreachable guard
+        if isinstance(item, _ClientError):
+            # one rejected chunk (round-time admission): raised once, in
+            # submit order; the client and server remain live
+            raise item.exc
         return item
 
     def snapshot(self) -> Dict[str, Any]:
@@ -316,6 +330,11 @@ class MultiStreamServer:
 
     def _detach(self, client: StreamClient) -> None:
         with self._lock:
+            if client.closed:
+                # double close(): the lane may already belong to a NEW
+                # client (attach reuses freed lanes) — freeing it again
+                # would wipe that client's live stream
+                return
             client.closed = True
             if client.lane is not None:
                 # client.lane is left as a historical value on the closed
@@ -324,6 +343,35 @@ class MultiStreamServer:
             client._parked = None
             if client in self._all:
                 self._all.remove(client)
+
+    def _admission_error(
+        self, client: StreamClient, w: Dict[str, Any]
+    ) -> Optional[ValueError]:
+        """Tail-aware admission against the lane's LIVE state. submit() can
+        only bound a chunk statically; the lane may carry an uncached tail
+        (e.g. a force-appended <|im_end|> from a budget-capped round,
+        engine.finish_chunk) that re-prefills WITH this chunk — so a chunk
+        at exactly the largest bucket can still overflow inside the round.
+        Mirrors _prepare_chunk's n_real and the batched round's per-lane
+        high-water check; returns the error to deliver to this client, or
+        None to admit. Runs under the server lock with the client placed."""
+        st = self.engine.stream
+        e = self.engine.engines[client.lane]
+        n_real = e.uncached_tail + sum(len(s.ids) for s in w["segs"])
+        try:
+            t_pad = _bucket(n_real, st.prefill_buckets)
+        except ValueError as exc:
+            return exc
+        max_new = w.get("max_new") or st.max_tokens_per_chunk
+        hw = max(e.cached + t_pad, e.cached + n_real + max_new)
+        if hw > st.kv_capacity:
+            return ValueError(
+                f"chunk of {n_real} tokens (incl. {e.uncached_tail} uncached "
+                f"tail) at cached={e.cached} would overflow kv_capacity "
+                f"{st.kv_capacity}; shorten the chunk or serve with a "
+                f"larger kv_capacity"
+            )
+        return None
 
     # ----------------------------------------------------------------- round
     def run_round_once(self) -> int:
@@ -376,11 +424,22 @@ class MultiStreamServer:
 
         self._round += 1
         work: List[Optional[Dict[str, Any]]] = [None] * self.engine.n
+        admitted: List[StreamClient] = []
         for c in chosen:
-            work[c.lane] = c._pending.get_nowait()
+            w = c._pending.get_nowait()
+            exc = self._admission_error(c, w)
+            if exc is not None:
+                # reject THIS chunk to THIS client; the round (and any
+                # later chunks this client already queued) goes on
+                c._results.put(_ClientError(exc))
+                continue
+            work[c.lane] = w
+            admitted.append(c)
             c._last_round = self._round
+        if not admitted:
+            return 0
         clients: List[Optional[StreamClient]] = list(self._lanes)
-        n_active = len(chosen)
+        n_active = len(admitted)
 
         # per-lane grids: clients stream at whatever resolution they like;
         # each lane's chunk encodes through its own single-grid tower

@@ -27,6 +27,7 @@ import optax
 from ..config import ModelConfig
 from ..data.dataset import StreamExample
 from ..models.qwen25_vl import language, model
+from ..utils.buckets import bucket_for
 from .step import make_optimizer, sft_loss
 
 
@@ -78,11 +79,7 @@ def find_resume_checkpoint(output_dir: str) -> Optional[str]:
     return best
 
 
-def _bucket(n: int, buckets) -> int:
-    for b in buckets:
-        if n <= b:
-            return b
-    raise ValueError(f"length {n} exceeds largest bucket {buckets[-1]}")
+_bucket = bucket_for  # one bucket-search (utils/buckets.py), two configs
 
 
 class Trainer:

@@ -513,3 +513,62 @@ def test_attach_rejects_incompatible_snapshot(params):
     # the good snapshot still attaches, and the server is not fail-stopped
     m = srv.attach(snapshot=snap)
     assert m.chunk_index == 1 and srv.error is None
+
+
+def test_double_close_does_not_free_successor_lane(params):
+    """close() is idempotent: a second close() on a handle whose lane was
+    already reassigned must not free the new owner's lane (regression:
+    client.lane is deliberately left as a historical value)."""
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv = MultiStreamServer(ms, end_bias=END_BIAS)
+    a = srv.attach()
+    lane = a.lane
+    a.close()
+    b = srv.attach()
+    assert b.lane == lane
+    a.close()  # double close — must be a no-op
+    assert srv._lanes[lane] is b
+    c = srv.attach()  # the OTHER lane, not b's
+    assert c.lane != lane
+
+
+def test_round_admission_rejects_per_client(params):
+    """A chunk that passes submit's static bound but cannot fit the lane's
+    LIVE state (here: an absurd per-chunk decode budget vs kv_capacity) is
+    rejected to ITS client only: get() raises once, the other client's
+    round output is unaffected, and the rejected client keeps streaming."""
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv = MultiStreamServer(ms, end_bias=END_BIAS)
+    a, b = srv.attach(), srv.attach()
+    ba = PromptBuilder(TOK, FakeTokenizer(TOK))
+    bb = PromptBuilder(TOK, FakeTokenizer(TOK))
+    solo_b = _solo_run(params, "describe the scene", 2, seed0=500)
+
+    segs_a, patches_a = _chunk(ba, 0, "narrate the game", 100)
+    a.submit(segs_a, pixel_patches=patches_a, grid_thw=GRID, max_new=10**6)
+    segs_b, patches_b = _chunk(bb, 0, "describe the scene", 500)
+    b.submit(segs_b, pixel_patches=patches_b, grid_thw=GRID)
+    assert srv.run_round_once() == 1  # only b admitted
+    with pytest.raises(ValueError, match="kv_capacity"):
+        a.get(timeout=1)
+    idx, gen = b.get(timeout=1)
+    np.testing.assert_array_equal(solo_b[0], gen)
+    assert srv.error is None  # NOT fail-stopped
+
+    # the rejected client continues from where it left off (chunk 0 was
+    # never processed — its chunk clock did not advance)
+    solo_a = _solo_run(params, "narrate the game", 1, seed0=100)
+    a.submit(segs_a, pixel_patches=patches_a, grid_thw=GRID)
+    segs_b1, patches_b1 = _chunk(bb, 1, "describe the scene", 501)
+    b.submit(segs_b1, pixel_patches=patches_b1, grid_thw=GRID)
+    assert srv.run_round_once() == 2
+    idx, gen = a.get(timeout=1)
+    assert idx == 0
+    np.testing.assert_array_equal(solo_a[0], gen)
+    idx, gen = b.get(timeout=1)
+    assert idx == 1
+    np.testing.assert_array_equal(solo_b[1], gen)
