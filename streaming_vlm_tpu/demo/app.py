@@ -49,8 +49,13 @@ setInterval(() => {
     const seg = pending.shift();
     const d = document.createElement('div');
     d.className = 'bubble';
-    d.innerHTML = '<span class="t">' + seg.start.toFixed(1) + 's</span>' +
-                  seg.text;
+    const t = document.createElement('span');
+    t.className = 't';
+    t.textContent = seg.start.toFixed(1) + 's';
+    d.appendChild(t);
+    // textContent, never innerHTML: captions are MODEL OUTPUT — markup
+    // characters in them must render as text, not parse as HTML
+    d.appendChild(document.createTextNode(seg.text));
     caps.prepend(d);
     requestAnimationFrame(() => d.classList.add('live'));
     while (caps.children.length > 6) caps.removeChild(caps.lastChild);
@@ -59,6 +64,75 @@ setInterval(() => {
 </script></div></body></html>"""
 
 SegmentSource = Callable[[], Iterator[Dict]]
+
+
+def serve_file_range(h: BaseHTTPRequestHandler, path: str,
+                     content_type: str = "video/mp4") -> None:
+    """Range-aware file endpoint (RFC 7233 single ranges): <video> seeking
+    needs bytes=START-, bytes=START-END, and the SUFFIX form bytes=-N (mp4
+    players probe the trailing moov atom with it). Unsatisfiable ranges get
+    416 + 'bytes */size' instead of a negative Content-Length. Shared by the
+    single-stream and multi-stream demo handlers."""
+    size = os.path.getsize(path)
+    rng = h.headers.get("Range")
+    start, end = 0, size - 1
+    if rng:
+        m = re.match(r"bytes=(\d*)-(\d*)", rng)
+        if m and (m.group(1) or m.group(2)):
+            if m.group(1):
+                start = int(m.group(1))
+                if m.group(2):
+                    end = min(int(m.group(2)), size - 1)
+            else:
+                # suffix range: the LAST N bytes
+                start = max(0, size - int(m.group(2)))
+        else:
+            rng = None  # malformed: ignore and serve the whole file
+        if rng and (start >= size or end < start):
+            h.send_response(416)
+            h.send_header("Content-Range", f"bytes */{size}")
+            h.send_header("Content-Length", "0")
+            h.end_headers()
+            return
+    n = end - start + 1
+    h.send_response(206 if rng else 200)
+    h.send_header("Content-Type", content_type)
+    h.send_header("Accept-Ranges", "bytes")
+    if rng:
+        h.send_header("Content-Range", f"bytes {start}-{end}/{size}")
+    h.send_header("Content-Length", str(n))
+    h.end_headers()
+    with open(path, "rb") as f:
+        f.seek(start)
+        remaining = n
+        while remaining > 0:
+            chunk = f.read(min(1 << 20, remaining))
+            if not chunk:
+                break
+            try:
+                h.wfile.write(chunk)
+            except (BrokenPipeError, ConnectionResetError):
+                return
+            remaining -= len(chunk)
+
+
+def serve_sse(h: BaseHTTPRequestHandler, segments: Iterator[Dict]) -> None:
+    """Server-Sent Events endpoint: one `data:` frame per segment, then a
+    terminal `done` event. Shared by both demo handlers."""
+    h.send_response(200)
+    h.send_header("Content-Type", "text/event-stream")
+    h.send_header("Cache-Control", "no-cache")
+    h.end_headers()
+    try:
+        for seg in segments:
+            h.wfile.write(
+                f"data: {json.dumps(seg, ensure_ascii=False)}\n\n".encode()
+            )
+            h.wfile.flush()
+        h.wfile.write(b"event: done\ndata: {}\n\n")
+        h.wfile.flush()
+    except (BrokenPipeError, ConnectionResetError):
+        pass
 
 
 class LiveCaptionServer:
@@ -103,52 +177,10 @@ class LiveCaptionServer:
 
     # -------------------------------------------------------------- endpoints
     def _serve_video(self, h: BaseHTTPRequestHandler) -> None:
-        size = os.path.getsize(self.video_path)
-        rng = h.headers.get("Range")
-        start, end = 0, size - 1
-        if rng:
-            m = re.match(r"bytes=(\d*)-(\d*)", rng)
-            if m:
-                if m.group(1):
-                    start = int(m.group(1))
-                if m.group(2):
-                    end = min(int(m.group(2)), size - 1)
-        n = end - start + 1
-        h.send_response(206 if rng else 200)
-        h.send_header("Content-Type", "video/mp4")
-        h.send_header("Accept-Ranges", "bytes")
-        if rng:
-            h.send_header("Content-Range", f"bytes {start}-{end}/{size}")
-        h.send_header("Content-Length", str(n))
-        h.end_headers()
-        with open(self.video_path, "rb") as f:
-            f.seek(start)
-            remaining = n
-            while remaining > 0:
-                chunk = f.read(min(1 << 20, remaining))
-                if not chunk:
-                    break
-                try:
-                    h.wfile.write(chunk)
-                except (BrokenPipeError, ConnectionResetError):
-                    return
-                remaining -= len(chunk)
+        serve_file_range(h, self.video_path)
 
     def _serve_events(self, h: BaseHTTPRequestHandler) -> None:
-        h.send_response(200)
-        h.send_header("Content-Type", "text/event-stream")
-        h.send_header("Cache-Control", "no-cache")
-        h.end_headers()
-        try:
-            for seg in self.segment_source():
-                h.wfile.write(
-                    f"data: {json.dumps(seg, ensure_ascii=False)}\n\n".encode()
-                )
-                h.wfile.flush()
-            h.wfile.write(b"event: done\ndata: {}\n\n")
-            h.wfile.flush()
-        except (BrokenPipeError, ConnectionResetError):
-            pass
+        serve_sse(h, self.segment_source())
 
     # ------------------------------------------------------------------- run
     def serve_forever(self):

@@ -74,8 +74,12 @@ for (let i = 0; i < N; i++) {
       const seg = pending.shift();
       const d = document.createElement('div');
       d.className = 'bubble';
-      d.innerHTML = '<span class="t">' + seg.start.toFixed(1) + 's</span>' +
-                    seg.text;
+      const t = document.createElement('span');
+      t.className = 't';
+      t.textContent = seg.start.toFixed(1) + 's';
+      d.appendChild(t);
+      // textContent, never innerHTML: captions are MODEL OUTPUT
+      d.appendChild(document.createTextNode(seg.text));
       caps.prepend(d);
       requestAnimationFrame(() => d.classList.add('live'));
       while (caps.children.length > 4) caps.removeChild(caps.lastChild);
@@ -199,6 +203,7 @@ class MultiLiveCaptionServer:
 
         st = self.stream
         feed = self.feeds[i]
+        client = None
         try:
             src = ChunkedVideoSource(
                 self.video_paths[i],
@@ -243,19 +248,33 @@ class MultiLiveCaptionServer:
                         "text": clean,
                     }
                 )
-            client.close()
         finally:
+            # close in the finally: a feeder that dies mid-stream (ingest
+            # error, get() timeout on a stalled tunnel, rejected chunk)
+            # must free its lane for other clients — lanes are only ever
+            # released by close(). close() is idempotent.
+            if client is not None:
+                client.close()
             feed.finish()
 
     # ------------------------------------------------------------------- run
-    def start_background(self) -> None:
-        """Start the round scheduler, one feeder per video, and the HTTP
-        server — all on daemon threads."""
+    def _start_workers(self) -> None:
+        """Start the round scheduler + one feeder per video, exactly once
+        (idempotent: start_background for warmup followed by serve_forever
+        must not spawn a second set of feeders submitting duplicate
+        chunks)."""
+        if self._threads:
+            return
         self.server.start()
         for i in range(self.n):
             t = threading.Thread(target=self._feed_stream, args=(i,), daemon=True)
             t.start()
             self._threads.append(t)
+
+    def start_background(self) -> None:
+        """Start the round scheduler, one feeder per video, and the HTTP
+        server — all on daemon threads."""
+        self._start_workers()
         ht = threading.Thread(target=self.httpd.serve_forever, daemon=True)
         ht.start()
 
@@ -274,11 +293,7 @@ class MultiLiveCaptionServer:
             f"multi-stream demo ({self.n} lanes): "
             f"http://{self.httpd.server_address[0]}:{self.port}/"
         )
-        self.server.start()
-        for i in range(self.n):
-            t = threading.Thread(target=self._feed_stream, args=(i,), daemon=True)
-            t.start()
-            self._threads.append(t)
+        self._start_workers()
         self.httpd.serve_forever()
 
     def shutdown(self) -> None:
@@ -288,12 +303,10 @@ class MultiLiveCaptionServer:
 
 
 def _make_httpd(outer: MultiLiveCaptionServer, host: str, port: int):
-    import json
-    import os
     import re
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    from .app import PAGE
+    from .app import PAGE, serve_file_range, serve_sse
 
     def parse_idx(path: str, prefix: str) -> Optional[int]:
         m = re.match(rf"{prefix}/(\d+)$", path)
@@ -340,51 +353,9 @@ def _make_httpd(outer: MultiLiveCaptionServer, host: str, port: int):
             self.end_headers()
 
         def _serve_video(self, path: str) -> None:
-            size = os.path.getsize(path)
-            rng = self.headers.get("Range")
-            start, end = 0, size - 1
-            if rng:
-                m = re.match(r"bytes=(\d*)-(\d*)", rng)
-                if m:
-                    if m.group(1):
-                        start = int(m.group(1))
-                    if m.group(2):
-                        end = min(int(m.group(2)), size - 1)
-            n = end - start + 1
-            self.send_response(206 if rng else 200)
-            self.send_header("Content-Type", "video/mp4")
-            self.send_header("Accept-Ranges", "bytes")
-            if rng:
-                self.send_header("Content-Range", f"bytes {start}-{end}/{size}")
-            self.send_header("Content-Length", str(n))
-            self.end_headers()
-            with open(path, "rb") as f:
-                f.seek(start)
-                remaining = n
-                while remaining > 0:
-                    chunk = f.read(min(1 << 20, remaining))
-                    if not chunk:
-                        break
-                    try:
-                        self.wfile.write(chunk)
-                    except (BrokenPipeError, ConnectionResetError):
-                        return
-                    remaining -= len(chunk)
+            serve_file_range(self, path)
 
         def _serve_events(self, feed: _Feed) -> None:
-            self.send_response(200)
-            self.send_header("Content-Type", "text/event-stream")
-            self.send_header("Cache-Control", "no-cache")
-            self.end_headers()
-            try:
-                for seg in feed.subscribe():
-                    self.wfile.write(
-                        f"data: {json.dumps(seg, ensure_ascii=False)}\n\n".encode()
-                    )
-                    self.wfile.flush()
-                self.wfile.write(b"event: done\ndata: {}\n\n")
-                self.wfile.flush()
-            except (BrokenPipeError, ConnectionResetError):
-                pass
+            serve_sse(self, feed.subscribe())
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -435,9 +435,21 @@ def streaming_inference(
                     pool.submit(read_chunk, i + 2) if i + 2 < num_chunks else None
                 )
                 next_video = nxt
-                next_embeds = session.encode_patches(nxt[0], nxt[1])
             except Exception:
-                next_video = None  # surfaced on the next iteration's VIDEO read
+                # the read itself failed: pending still holds the failed
+                # future, so the next iteration's VIDEO read re-raises it
+                next_video = None
+            else:
+                try:
+                    next_embeds = session.encode_patches(nxt[0], nxt[1])
+                except Exception:
+                    # encode failed (e.g. transient device fault) AFTER
+                    # pending was re-armed for chunk i+2 — KEEP the frames:
+                    # the next chunk re-encodes them inside its own step
+                    # dispatch (pixel_patches path). Dropping them here
+                    # would silently pair chunk i+2's frames with chunk
+                    # i+1's timestamps for the rest of the stream.
+                    next_embeds = None
         if not spec_decode:
             response, gen = session.finish_chunk(
                 i, handle, forced_response_ids=forced
@@ -589,7 +601,7 @@ def streaming_inference_from_dataset(
     use_gt: bool = False,
     quiet: bool = True,
     dtype=None,
-) -> List[Dict]:
+) -> Tuple[List[Dict], List[Dict]]:
     """Dataset-driven streaming inference (the reference's test_data_json mode,
     inference.py:244-254,333-338): chunks come from the dataset's synthesized
     turns; with use_gt=True each decoded round is replaced by the ground-truth

@@ -149,3 +149,45 @@ def test_render_caption_video_with_tts_mux(video_path, tmp_path):
     out2 = str(tmp_path / "plain.mp4")
     render_caption_video(video_path, segs, out2, max_seconds=2.0)
     assert ingest.audio_rate(out2) == 0
+
+
+def test_video_range_suffix_and_416(video_path):
+    """RFC 7233 corners the <video> element actually hits: the SUFFIX form
+    bytes=-N (players probe the trailing moov atom with it) must return the
+    LAST N bytes, and an out-of-range start must get 416, not a negative
+    Content-Length."""
+    import os
+    import urllib.error
+
+    size = os.path.getsize(video_path)
+    with open(video_path, "rb") as f:
+        blob = f.read()
+    srv = LiveCaptionServer(video_path, lambda: iter([]), port=0)
+    srv.start_background()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/video", headers={"Range": "bytes=-500"}
+        )
+        resp = urllib.request.urlopen(req)
+        assert resp.status == 206
+        assert resp.headers["Content-Range"] == f"bytes {size-500}-{size-1}/{size}"
+        assert resp.read() == blob[-500:]
+
+        # open-ended range from a mid offset
+        req = urllib.request.Request(
+            f"{base}/video", headers={"Range": f"bytes={size-10}-"}
+        )
+        resp = urllib.request.urlopen(req)
+        assert resp.status == 206 and resp.read() == blob[-10:]
+
+        # start beyond EOF: 416 with the total size, not garbage
+        req = urllib.request.Request(
+            f"{base}/video", headers={"Range": f"bytes={size + 5}-"}
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 416
+        assert ei.value.headers["Content-Range"] == f"bytes */{size}"
+    finally:
+        srv.shutdown()
