@@ -66,6 +66,43 @@ setInterval(() => {
 SegmentSource = Callable[[], Iterator[Dict]]
 
 
+class SegmentFeed:
+    """Append-only segment feed with replay: each SSE subscriber iterates
+    from the start and blocks for new items until the producer finishes.
+    ONE producer fans out to any number of connections — an EventSource
+    auto-reconnect or a second viewer must replay the same generation, not
+    start a duplicate one on the chip."""
+
+    def __init__(self):
+        self.items: list = []
+        self.done = False
+        self.cond = threading.Condition()
+
+    def push(self, seg: Dict) -> None:
+        with self.cond:
+            self.items.append(seg)
+            self.cond.notify_all()
+
+    def finish(self) -> None:
+        with self.cond:
+            self.done = True
+            self.cond.notify_all()
+
+    def subscribe(self) -> Iterator[Dict]:
+        i = 0
+        while True:
+            with self.cond:
+                while i >= len(self.items) and not self.done:
+                    self.cond.wait(timeout=1.0)
+                if i >= len(self.items):
+                    if self.done:
+                        return
+                    continue
+                seg = self.items[i]
+            i += 1
+            yield seg
+
+
 def serve_file_range(h: BaseHTTPRequestHandler, path: str,
                      content_type: str = "video/mp4") -> None:
     """Range-aware file endpoint (RFC 7233 single ranges): <video> seeking

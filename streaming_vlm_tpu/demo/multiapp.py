@@ -26,12 +26,13 @@ its own grid's tower executable, multiserve mixed-grid rounds).
 from __future__ import annotations
 
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 from ..config import ModelConfig, SamplingConfig, StreamConfig, VideoConfig
 from ..serve import DEFAULT_QUERY
+from .app import SegmentFeed as _Feed  # shared with the single-stream demo
 from ..streaming.multiserve import MultiStreamServer
 from ..streaming.multistream import MultiStreamEngine
 from ..streaming.protocol import PromptBuilder, build_round_segs, hf_encode_fn
@@ -87,40 +88,6 @@ for (let i = 0; i < N; i++) {
   }, 100);
 }
 </script></body></html>"""
-
-
-class _Feed:
-    """Append-only segment feed with replay: each SSE subscriber iterates
-    from the start and blocks for new items until the producer finishes."""
-
-    def __init__(self):
-        self.items: List[Dict] = []
-        self.done = False
-        self.cond = threading.Condition()
-
-    def push(self, seg: Dict) -> None:
-        with self.cond:
-            self.items.append(seg)
-            self.cond.notify_all()
-
-    def finish(self) -> None:
-        with self.cond:
-            self.done = True
-            self.cond.notify_all()
-
-    def subscribe(self) -> Iterator[Dict]:
-        i = 0
-        while True:
-            with self.cond:
-                while i >= len(self.items) and not self.done:
-                    self.cond.wait(timeout=1.0)
-                if i >= len(self.items):
-                    if self.done:
-                        return
-                    continue
-                seg = self.items[i]
-            i += 1
-            yield seg
 
 
 class MultiLiveCaptionServer:

@@ -413,11 +413,35 @@ def run_videomme_tsv(
     """Run a VideoMME-format TSV through the chat adapter; write per-item
     predictions jsonl and return accuracy (exact-match option extraction,
     the kit's first-stage matcher)."""
-    import csv
-    import json
     import os
 
     data_root = data_root or os.path.dirname(os.path.abspath(tsv_path))
+    return _run_tsv(
+        chat, tsv_path, out_path,
+        build_message=lambda row: build_videomme_message(row, data_root),
+        options_for_row=lambda row: ["A", "B", "C", "D"],
+        dataset="Video-MME",
+        worker=worker, num_workers=num_workers,
+    )
+
+
+def _run_tsv(
+    chat: "VQAChat",
+    tsv_path: str,
+    out_path: str,
+    *,
+    build_message,
+    options_for_row,
+    dataset: str,
+    worker: int = 0,
+    num_workers: int = 1,
+) -> Dict[str, float]:
+    """Shared TSV eval loop (read rows -> worker shard -> generate ->
+    exact-match option extraction -> predictions jsonl -> accuracy). The
+    format runners differ only in message construction and option lists."""
+    import csv
+    import json
+
     with open(tsv_path, newline="") as f:
         rows = list(csv.DictReader(f, delimiter="\t"))
     n_correct, n_total = 0, 0
@@ -425,9 +449,8 @@ def run_videomme_tsv(
         for i, row in enumerate(rows):
             if i % num_workers != worker:
                 continue
-            msgs = build_videomme_message(row, data_root)
-            pred = chat.generate(msgs, dataset="Video-MME")
-            choice = extract_option(pred, ["A", "B", "C", "D"])
+            pred = chat.generate(build_message(row), dataset=dataset)
+            choice = extract_option(pred, options_for_row(row))
             hit = choice is not None and choice == row.get("answer")
             n_total += 1
             n_correct += int(hit)
@@ -473,41 +496,18 @@ def run_mcq_tsv(
 ) -> Dict[str, float]:
     """Run a VLMEvalKit-format MCQ TSV through the chat adapter; write
     per-item predictions jsonl and return accuracy."""
-    import csv
-    import json
     import os
     import string
 
     image_dir = image_dir or (os.path.splitext(out_path)[0] + "_images")
     os.makedirs(image_dir, exist_ok=True)
-    with open(tsv_path, newline="") as f:
-        rows = list(csv.DictReader(f, delimiter="\t"))
-    n_correct, n_total = 0, 0
-    with open(out_path, "w") as fout:
-        for i, row in enumerate(rows):
-            if i % num_workers != worker:
-                continue
-            msgs = build_mcq_message(row, image_dir)
-            pred = chat.generate(msgs, dataset="MCQ")
-            opts = [
-                c for c in string.ascii_uppercase if row.get(c) not in (None, "", "nan")
-            ]
-            choice = extract_option(pred, opts)
-            hit = choice is not None and choice == row.get("answer")
-            n_total += 1
-            n_correct += int(hit)
-            fout.write(
-                json.dumps(
-                    {
-                        "index": row.get("index"),
-                        "prediction": pred,
-                        "choice": choice,
-                        "answer": row.get("answer"),
-                        "hit": int(hit),
-                    },
-                    ensure_ascii=False,
-                )
-                + "\n"
-            )
-    return {"total": n_total, "correct": n_correct,
-            "accuracy": n_correct / n_total if n_total else 0.0}
+    return _run_tsv(
+        chat, tsv_path, out_path,
+        build_message=lambda row: build_mcq_message(row, image_dir),
+        options_for_row=lambda row: [
+            c for c in string.ascii_uppercase
+            if row.get(c) not in (None, "", "nan")
+        ],
+        dataset="MCQ",
+        worker=worker, num_workers=num_workers,
+    )

@@ -41,17 +41,23 @@ def _encode_video_jit(cfg: ModelConfig, grid_thw: Tuple[Tuple[int, int, int], ..
     geo = vision.vision_geometry(
         grid_thw, v.window_size, v.spatial_merge_size, v.patch_size, v.use_windows
     )
-    ang = jnp.asarray(vision.vision_rope_angles(geo["pos_ids"], v.head_dim, v.rope_theta))
-    patch_perm = jnp.asarray(geo["patch_perm"])
-    reverse = jnp.asarray(geo["reverse"])
-    win_seg = jnp.asarray(geo["win_seg"])
-    full_seg = jnp.asarray(geo["full_seg"])
+    # HOST numpy constants, not jnp: this builder is lru_cached and may be
+    # first-called INSIDE another trace (sft_loss runs the tower in-graph
+    # for unfrozen-ViT training) — jnp.asarray there would stage the
+    # conversion and cache that trace's tracers in the closure, leaking
+    # them into every later trace. np arrays bake into each executable as
+    # literals either way.
+    ang = np.asarray(vision.vision_rope_angles(geo["pos_ids"], v.head_dim, v.rope_theta))
+    patch_perm = np.asarray(geo["patch_perm"])
+    reverse = np.asarray(geo["reverse"])
+    win_seg = np.asarray(geo["win_seg"])
+    full_seg = np.asarray(geo["full_seg"])
 
     uniform_window = int(geo.get("uniform_window", 0))
     # ragged windows: padded-batch varlen layout (see _padded_window_attention)
-    pad_gather = jnp.asarray(geo["pad_gather"]) if "pad_gather" in geo else None
-    pad_mask = jnp.asarray(geo["pad_mask"]) if "pad_mask" in geo else None
-    back_gather = jnp.asarray(geo["back_gather"]) if "back_gather" in geo else None
+    pad_gather = np.asarray(geo["pad_gather"]) if "pad_gather" in geo else None
+    pad_mask = np.asarray(geo["pad_mask"]) if "pad_mask" in geo else None
+    back_gather = np.asarray(geo["back_gather"]) if "back_gather" in geo else None
 
     @jax.jit
     def run(vision_params, pixel_patches):

@@ -151,9 +151,13 @@ def sft_loss(
     params: Params,
     batch: Dict[str, jnp.ndarray],
     remat: str = "none",
+    grid_thw: Optional[Tuple[int, int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """batch: input_ids [B, T], labels [B, T] (-100 masked), positions [B, 3, T],
-    optional inputs_embeds [B, T, D] (vision already merged).
+    optional vis_embeds [B, n_vis, D] (vision already merged — the frozen-ViT
+    recipe) OR pixel_patches [B, S, patch_dim] + static `grid_thw` to run the
+    vision tower INSIDE the loss (differentiable through params['vision'];
+    required for freeze_vision=False finetuning).
     Returns (mean loss over labeled tokens, labeled-token count).
 
     `remat` ("full"/"dots") enables activation checkpointing on the decoder
@@ -186,6 +190,17 @@ def sft_loss(
 
     ve = batch.get("vis_embeds")
     vs = batch.get("vis_slots")
+    pp = batch.get("pixel_patches")
+    if ve is None and pp is not None:
+        # in-graph vision encode: grads flow to params['vision'] when the
+        # caller differentiates the full tree (make_train_step
+        # freeze_vision=False). One tower per example, vmapped — the same
+        # single-grid-executable shape multi-stream serving uses.
+        assert grid_thw is not None, "pixel_patches in batch need grid_thw"
+        from ..models.qwen25_vl import model as _model
+
+        tower = _model._encode_video_jit(cfg, (tuple(int(x) for x in grid_thw),))
+        ve = jax.vmap(lambda p: tower(params["vision"], p))(pp)
     if ve is not None:
         total, count = jax.vmap(per_example)(
             batch["input_ids"], batch["labels"], batch["positions"], ve, vs
@@ -218,15 +233,41 @@ def make_optimizer(
 
 
 def make_train_step(
-    cfg: ModelConfig, optimizer, freeze_vision: bool = True, remat: str = "none"
+    cfg: ModelConfig, optimizer, freeze_vision: bool = True, remat: str = "none",
+    grid_thw: Optional[Tuple[int, int, int]] = None,
 ):
-    """Build a jittable train step over text params (vision frozen like the
-    reference, train.py:77-82)."""
+    """Build a jittable train step. freeze_vision=True (the reference's
+    recipe, train.py:77-82) differentiates and updates only params['text'];
+    the caller's opt_state must be initialised over params['text'].
+    freeze_vision=False finetunes the FULL tree (ViT included) — opt_state
+    over the full params, and the batch must carry pixel_patches (+ static
+    grid_thw here) instead of precomputed vis_embeds, so the tower runs
+    inside the differentiated loss."""
+
+    if not freeze_vision:
+
+        def step(params: Params, opt_state, batch):
+            def loss_fn(p):
+                return sft_loss(cfg, p, batch, remat=remat, grid_thw=grid_thw)
+
+            (loss, count), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            metrics = {
+                "loss": loss,
+                "labeled_tokens": count,
+                "grad_norm": optax.global_norm(grads),
+            }
+            return new_params, opt_state, metrics
+
+        return step
 
     def step(params: Params, opt_state, batch):
         def loss_fn(text_params):
             p = {**params, "text": text_params}
-            loss, count = sft_loss(cfg, p, batch, remat=remat)
+            loss, count = sft_loss(cfg, p, batch, remat=remat, grid_thw=grid_thw)
             return loss, count
 
         (loss, count), grads = jax.value_and_grad(loss_fn, has_aux=True)(

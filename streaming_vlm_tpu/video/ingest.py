@@ -33,15 +33,26 @@ OPENAI_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 def build_native(force: bool = False) -> str:
-    """Compile the native ingest library if needed. Returns the .so path."""
+    """Compile the native ingest library if needed. Returns the .so path.
+
+    Compiles to a per-process temp name and os.replace()s it into place
+    (atomic on POSIX): N sharded eval workers starting together on a fresh
+    checkout all see the .so missing and build concurrently — none may ever
+    CDLL a partially written file."""
     src = os.path.join(_NATIVE_DIR, "svt_ingest.cc")
     if force or not os.path.exists(_SO_PATH) or os.path.getmtime(src) > os.path.getmtime(_SO_PATH):
+        tmp = f"{_SO_PATH}.{os.getpid()}.tmp"
         cmd = [
             "g++", "-O2", "-fPIC", "-shared", src,
             "-lavformat", "-lavcodec", "-lavutil", "-lswscale",
-            "-o", _SO_PATH,
+            "-o", tmp,
         ]
-        subprocess.run(cmd, check=True, capture_output=True)
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp, _SO_PATH)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
     return _SO_PATH
 
 

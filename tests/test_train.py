@@ -307,3 +307,50 @@ def test_trainer_step_7b_geometry_fsdp_remat():
     # params stay sharded through the update
     qw = new_p["text"]["layers"]["q_w"]
     assert not qw.sharding.is_fully_replicated
+
+
+def test_unfrozen_vision_step_updates_vision_params():
+    """make_train_step(freeze_vision=False) must actually finetune the ViT:
+    vision params receive gradients and change, while the frozen default
+    leaves them bitwise-untouched (the reference's recipe, train.py:77-82)."""
+    import optax
+
+    from streaming_vlm_tpu.train.step import make_optimizer, make_train_step
+
+    rng = np.random.default_rng(0)
+    B, T = 1, 64
+    n_patch = 16  # (1,4,4) grid
+    pd = CFG.vision.in_channels * CFG.vision.temporal_patch_size * CFG.vision.patch_size**2
+    ids = rng.integers(5, 900, size=(B, T)).astype(np.int32)
+    n_vis = n_patch // CFG.vision.spatial_merge_unit
+    ids[0, 4 : 4 + n_vis] = CFG.tokens.video_pad
+    batch = {
+        "input_ids": ids,
+        "labels": np.where(rng.random((B, T)) < 0.5, ids, -100).astype(np.int32),
+        "positions": np.broadcast_to(
+            np.arange(T, dtype=np.float32), (B, 3, T)
+        ).copy(),
+        "pixel_patches": rng.normal(size=(B, n_patch, pd)).astype(np.float32) * 0.1,
+        "vis_slots": np.broadcast_to(
+            np.arange(4, 4 + n_vis, dtype=np.int32), (B, n_vis)
+        ).copy(),
+    }
+    params = model.init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+
+    opt = optax.sgd(1e-2)
+    frozen = jax.jit(make_train_step(CFG, opt, freeze_vision=True, grid_thw=(1, 4, 4)))
+    p1, _, m1 = frozen(params, opt.init(params["text"]), batch)
+    unfrozen = jax.jit(
+        make_train_step(CFG, opt, freeze_vision=False, grid_thw=(1, 4, 4))
+    )
+    p2, _, m2 = unfrozen(params, opt.init(params), batch)
+
+    # identical loss (same forward), different update scope
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    v0 = np.asarray(params["vision"]["patch_embed"])
+    assert np.array_equal(np.asarray(p1["vision"]["patch_embed"]), v0)
+    assert not np.array_equal(np.asarray(p2["vision"]["patch_embed"]), v0)
+    # text updated in both
+    t0 = np.asarray(jax.tree.leaves(params["text"])[0])
+    assert not np.array_equal(np.asarray(jax.tree.leaves(p1["text"])[0]), t0)
+    assert not np.array_equal(np.asarray(jax.tree.leaves(p2["text"])[0]), t0)
