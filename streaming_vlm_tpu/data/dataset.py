@@ -119,7 +119,13 @@ def synthesize_stream_turns(
     phrase, next_from = get_phrase_before_timestamp(text_stream, t1)
     q, a = take_qa(t0, t1)
     turns.append(
-        StreamTurn(t0, t1, q, a + "\n" + phrase + " ...", list(range(initial_fps_frames)))
+        StreamTurn(
+            t0, t1, q, a + "\n" + phrase + " ...",
+            # clamp like the reference's clip[:initial_fps_frames] slice —
+            # a clip shorter than the initial window must not IndexError
+            # on the fancy-indexed frame fetch
+            list(range(min(initial_fps_frames, n_frames))),
+        )
     )
 
     for i in range(initial_fps_frames, n_frames, streaming_fps_frames):
@@ -304,12 +310,17 @@ class StreamDataset:
             gw = frames.shape[2] // self.cfg.vision.patch_size
             grid = (gt, gh, gw)
             n_vid = gt * (gh // merge) * (gw // merge)
-            # user turn: Time=a-bs{question}<vision>  (reference :239-246 puts
-            # the question right after the Time text)
+            # user turn: round 0 concatenates the question directly after
+            # the Time text (reference :242-244 'Time=...s' + f'{question}');
+            # rounds r>0 use 'Time=...s {question}' — one space ALWAYS,
+            # trailing even when the question is empty (reference :281).
+            # Different token instance = different KV: a real checkpoint
+            # trained on the reference's data sees exactly this layout.
+            sep = " " if r > 0 else ""
             qtxt = turn.question
             text = (
                 f"\n<|im_start|>user\n"
-                f"Time={turn.start:.1f}-{turn.end:.1f}s{qtxt}"
+                f"Time={turn.start:.1f}-{turn.end:.1f}s{sep}{qtxt}"
                 f"<|vision_start|>{'<|video_pad|>' * n_vid}<|vision_end|><|im_end|>"
             )
             uids = np.asarray(b.encode(text), np.int32)
@@ -385,13 +396,24 @@ class StreamDataset:
         )
 
     def __getitem__(self, index: int) -> StreamExample:
-        try:
-            return self.getitem(index)
-        except Exception as e:  # deterministic resample, reference :412-422
-            import sys
+        # deterministic resample on error (reference :412-422), made
+        # terminating: index*13 % n has fixed points (0 always; any i with
+        # 12i ≡ 0 mod n) where the reference recurses forever — step past
+        # them, and give up after n attempts if every sample is broken.
+        import sys
 
-            print(f"dataset: bug at index {index}: {e}", file=sys.stderr)
-            return self.__getitem__(index * 13 % len(self.handles))
+        n = len(self.handles)
+        for _ in range(n):
+            try:
+                return self.getitem(index)
+            except Exception as e:
+                print(f"dataset: bug at index {index}: {e}", file=sys.stderr)
+                nxt = index * 13 % n
+                index = nxt if nxt != index else (index + 1) % n
+        raise RuntimeError(
+            f"dataset: every resample failed (started a chain of {n} "
+            f"attempts); the dataset files are unreadable"
+        )
 
 
 def data_collator(batch: List[StreamExample]) -> StreamExample:

@@ -15,7 +15,10 @@ import textwrap
 from typing import Dict, List, Optional, Sequence, Tuple
 
 
-def _bubble_layout(text: str, width_px: int, char_w: int = 7) -> List[str]:
+_CHAR_W = 7  # px per character of PIL's default bitmap font
+
+
+def _bubble_layout(text: str, width_px: int, char_w: int = _CHAR_W) -> List[str]:
     cols = max(10, (width_px - 40) // char_w)
     return textwrap.wrap(text, cols)[:3]
 
@@ -35,7 +38,7 @@ def draw_bubble(frame, text: str, *, margin: int = 8):
     line_h = 12
     pad = 6
     bh = len(lines) * line_h + 2 * pad
-    bw = min(w - 2 * margin, max(len(l) for l in lines) * 7 + 2 * pad)
+    bw = min(w - 2 * margin, max(len(l) for l in lines) * _CHAR_W + 2 * pad)
     x0, y0 = margin, h - margin - bh
     d.rounded_rectangle(
         [x0, y0, x0 + bw, y0 + bh], radius=8, fill=(34, 170, 102, 220)
@@ -67,18 +70,27 @@ def render_caption_video(
     from ..video.ingest import VideoReader, VideoWriter
 
     r = VideoReader(video_path)
-    ts = r.frame_ts[:, 1]
-    n = len(ts) if max_seconds is None else int(np.searchsorted(ts, max_seconds))
-    n = max(n, 1)
+    ts = r.frame_ts[:, 1]  # per-source-frame end seconds
+    total = float(ts[-1]) if len(ts) else 0.0
+    if max_seconds is not None:
+        total = min(total, max_seconds)
+    # resample BY TIMESTAMP onto the output fps grid: writing every source
+    # frame at `fps` would stretch/compress any source whose native rate
+    # differs (30 fps source at fps=10 played 3x slow, bubbles and TTS
+    # landing at the wrong playback moments). Output frame j shows the
+    # source frame live at t = j/fps, so output duration == source
+    # duration and the audio offsets below line up by construction.
+    n = max(int(total * fps), 1)
     w = r.width - r.width % 4
     h = r.height - r.height % 4
     drawn = set()
     with VideoWriter(
         out_path, w, h, fps, audio_rate=audio_rate if synth else 0
     ) as out:
-        for i in range(n):
-            frame = r.fetch([i], w, h)[0]
-            t = float(ts[i])
+        for j in range(n):
+            t = j / fps
+            i = max(int(np.searchsorted(ts, t, side="right")), 0)
+            frame = r.fetch([min(i, len(ts) - 1)], w, h)[0]
             for si, seg in enumerate(segments):
                 if seg["start"] <= t < seg["end"] and seg["text"]:
                     frame = draw_bubble(frame, seg["text"])

@@ -83,11 +83,16 @@ def run_efficiency(
         pos_mode=pos_mode,
         all_text=all_text,
         max_tokens_per_chunk=DEFAULTS.max_tokens_per_chunk,
-        kv_capacity=kv_capacity_for(c["window_size"], duration, tokens_per_chunk),
         **c,
     )
     if stream_overrides:
         stream_kw.update(stream_overrides)
+    # sized AFTER overrides: an override that widens window_size must also
+    # widen the arena, or the run overflows capacity mid-ablation
+    stream_kw.setdefault(
+        "kv_capacity",
+        kv_capacity_for(stream_kw["window_size"], duration, tokens_per_chunk),
+    )
     stream = StreamConfig(**stream_kw)
 
     responses, timings = streaming_inference(

@@ -56,32 +56,48 @@ def openai_judge_fn(model: str = "gpt-4o-mini", max_retries: int = 8) -> JudgeFn
                 return resp.choices[0].message.content or ""
             except Exception as e:  # transient API errors: retry with backoff
                 last = e
-                time.sleep(min(2**attempt, 30))
+                if attempt < max_retries - 1:  # no pointless final sleep
+                    time.sleep(min(2**attempt, 30))
         raise RuntimeError(f"judge failed after {max_retries} retries: {last}")
 
     return call
 
 
 def judge_once(judge: JudgeFn, ref_text: str, cand_a: str, cand_b: str) -> str:
+    """One vote: 'A', 'B', or 'tie'. An off-format reply ('Candidate A is
+    better', an empty refusal, ...) falls back to the reference's
+    containment parse (llm_judge.py:56-61) and otherwise counts for NEITHER
+    side — defaulting it to a vote (as a startswith-else-B parse does)
+    silently biases the win rate."""
     msg = USER_TEMPLATE.format(
         reference=ref_text.strip()[:8000],
         A=cand_a.strip()[:8000],
         B=cand_b.strip()[:8000],
     )
     out = judge(SYS_PROMPT, msg).strip().upper()
-    return "A" if out.startswith("A") else "B"
+    if out.startswith("A"):
+        return "A"
+    if out.startswith("B"):
+        return "B"
+    has_a = "CANDIDATE A" in out
+    has_b = "CANDIDATE B" in out
+    if has_a != has_b:
+        return "A" if has_a else "B"
+    return "tie"
+
+
+_FLIP = {"A": "B", "B": "A", "tie": "tie"}
 
 
 def judge_pair(judge: JudgeFn, ref_text: str, cand_a: str, cand_b: str) -> Tuple[str, str]:
     """AB vote + position-swapped BA vote (flipped back to A/B perspective)."""
     vote_ab = judge_once(judge, ref_text, cand_a, cand_b)
-    vote_ba_raw = judge_once(judge, ref_text, cand_b, cand_a)
-    vote_ba = "A" if vote_ba_raw == "B" else "B"
+    vote_ba = _FLIP[judge_once(judge, ref_text, cand_b, cand_a)]
     return vote_ab, vote_ba
 
 
 def tally(vote_ab: str, vote_ba: str) -> Dict[str, object]:
     votes_a = int(vote_ab == "A") + int(vote_ba == "A")
-    votes_b = 2 - votes_a
+    votes_b = int(vote_ab == "B") + int(vote_ba == "B")
     winner = "A" if votes_a > votes_b else "B" if votes_b > votes_a else "equal"
     return {"winner": winner, "votes": {"A": votes_a, "B": votes_b}}

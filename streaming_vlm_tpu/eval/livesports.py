@@ -43,9 +43,10 @@ def generate_commentary(
     dtype=None,
 ) -> List[str]:
     """Generate streaming commentary per event; idempotent per-event files."""
-    from ..config import SamplingConfig
+    from ..config import SamplingConfig, StreamConfig
     from ..serve import streaming_inference
 
+    stream = stream or StreamConfig()
     events = load_events(events_path)
     os.makedirs(out_dir, exist_ok=True)
     written = []
@@ -66,7 +67,12 @@ def generate_commentary(
             previous_text=ev.get("preasr_text", ""),
             query=query,
             duration=end - begin,
-            skip_first_chunk=int(begin),
+            # float chunk offset: start_time = (i + skip) * chunk_duration
+            # must equal begin + i*cd EXACTLY — int(begin) shifted the
+            # window back by the fractional second and dropped the event
+            # tail (the LiveCC competitor at :213 gets the float begin,
+            # which biased the head-to-head judge)
+            skip_first_chunk=begin / stream.chunk_duration,
             quiet=True,
             dtype=dtype,
         )

@@ -305,7 +305,12 @@ def evaluate_results(results: List[dict]) -> Dict[str, float]:
             continue
         c = counts.setdefault(r["task"], {"correct": 0, "total": 0})
         c["total"] += 1
-        if r["response"][: len(r["answer"])] == r["answer"]:
+        # exact match on the option string. The reference prefix-matches
+        # (distributed_evaluate_ovobench.py:211 response[:len(answer)]),
+        # which scores REC response '10' as correct for answer '1' —
+        # strip() + equality is strictly more correct on the known option
+        # sets and identical everywhere prefixes are unambiguous.
+        if r["response"].strip() == r["answer"]:
             c["correct"] += 1
     out: Dict[str, float] = {}
     groups = {"realtime": [], "backward": [], "forward": []}

@@ -157,9 +157,15 @@ def config_from_hf_dir(model_dir: str) -> ModelConfig:
     from ..config import ModelConfig, TextConfig, VisionConfig
 
     with open(os.path.join(model_dir, "config.json")) as f:
-        hf = json.load(f)
-    vis = hf.get("vision_config", {})
-    is_qwen2 = hf.get("model_type") == "qwen2_vl"
+        raw = json.load(f)
+    vis = raw.get("vision_config", {})
+    is_qwen2 = raw.get("model_type") == "qwen2_vl"
+    # transformers >= 4.52 re-saves the composite config with the text
+    # fields nested under 'text_config' (and weights under
+    # model.language_model.*, which params_from_state_dict already maps);
+    # older checkpoints keep them flat. Text fields resolve from the nested
+    # dict first, falling back to flat top-level keys.
+    hf = {**raw, **raw.get("text_config", {})}
     text_kw = dict(
         vocab_size=hf["vocab_size"],
         hidden_size=hf["hidden_size"],

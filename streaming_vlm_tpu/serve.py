@@ -274,7 +274,9 @@ def streaming_inference(
     previous_text: str = "",
     query: str = DEFAULT_QUERY,
     duration: Optional[float] = None,
-    skip_first_chunk: int = 0,
+    # in CHUNKS; fractional values start mid-chunk-grid (e.g. a LiveSports
+    # event beginning at 12.7 s with 1 s chunks passes 12.7)
+    skip_first_chunk: float = 0,
     quiet: bool = False,
     emit_json: bool = False,
     time_test: bool = False,

@@ -103,14 +103,21 @@ class PromptBuilder:
         tokenized as one string, split at special-token boundaries.
 
         `question` is a mid-stream qa_stream injection placed right after the
-        Time text, matching the TRAINING format (reference
-        lmm_dataset.py:227-237,263-273) so OVO-style streaming evals see the
-        same token layout they were trained on; `query` is the round-0 task
-        prompt placed after the vision block (reference inference.py:370-377)."""
+        Time text, in the TRAINING layout: round 0 concatenates it directly
+        ('Time=...s{q}', reference lmm_dataset.py:242-244); later rounds are
+        'Time=...s {q}' with the space ALWAYS present — trailing even when
+        the question is empty (reference :281). NOTE a deliberate divergence
+        from the reference here: its own inference feeds bare 'Time=...s'
+        prompts (inference.py:352,373), token-drifting from what the
+        checkpoint was trained on; this framework keeps serve == train
+        byte-for-byte (tests/test_serve.py qa token-alignment), because a
+        different token instance is a different KV. `query` is the round-0
+        task prompt placed after the vision block (inference.py:370-377)."""
         lead = "\n" if prepend_newline else ""
         qtext = query or ""
+        qsep = " " if rnd > 0 else ""
         text = (
-            f"{lead}<|im_start|>user\n{self.time_prompt(start, end)}{question}"
+            f"{lead}<|im_start|>user\n{self.time_prompt(start, end)}{qsep}{question}"
             f"<|vision_start|>{'<|video_pad|>' * n_video_tokens}<|vision_end|>"
             f"{qtext}<|im_end|>"
         )

@@ -54,7 +54,7 @@ class SectionTimer:
 
 
 @contextlib.contextmanager
-def trace(logdir: str, *, host_tracer_level: int = 2):
+def trace(logdir: str):
     """jax.profiler trace -> TensorBoard XPlane dump under `logdir`
     (inspect with tensorboard_plugin_profile)."""
     import jax

@@ -315,3 +315,33 @@ def test_load_hf_checkpoint_from_disk(hf_model, jax_params, tmp_path):
         ).logits[0].numpy()
     ours = np.asarray(m.forward_full(cfg2, params2, ids))
     np.testing.assert_allclose(ours, hf_logits, atol=2e-4, rtol=2e-3)
+
+
+def test_config_from_hf_dir_nested_text_config(hf_model, tmp_path):
+    """transformers >= 4.52 re-saves the composite config with the text
+    fields nested under 'text_config'; config_from_hf_dir must parse both
+    layouts to the same ModelConfig."""
+    import json as _json
+    import os as _os
+
+    from streaming_vlm_tpu.models.convert import config_from_hf_dir
+
+    d = str(tmp_path / "flat")
+    hf_model.save_pretrained(d, safe_serialization=True)
+    with open(_os.path.join(d, "config.json")) as f:
+        flat = _json.load(f)
+    cfg_flat = config_from_hf_dir(d)
+
+    text_keys = (
+        "vocab_size", "hidden_size", "intermediate_size", "num_hidden_layers",
+        "num_attention_heads", "num_key_value_heads", "head_dim",
+        "rms_norm_eps", "rope_theta", "tie_word_embeddings", "rope_scaling",
+    )
+    nested = {k: v for k, v in flat.items() if k not in text_keys}
+    nested["text_config"] = {k: flat[k] for k in text_keys if k in flat}
+    d2 = str(tmp_path / "nested")
+    _os.makedirs(d2)
+    with open(_os.path.join(d2, "config.json"), "w") as f:
+        _json.dump(nested, f)
+    cfg_nested = config_from_hf_dir(d2)
+    assert cfg_nested == cfg_flat

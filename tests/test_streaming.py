@@ -289,8 +289,11 @@ def drive(params, *, n_chunks, text_round, visual_round, sink, window, max_new=4
                 "watch this<|im_end|>\n<|im_start|>assistant\n"
             )
         else:
+            # training layout for turns i>0: 'Time=...s {question}' with the
+            # space ALWAYS present (reference lmm_dataset.py:281; trailing
+            # when the question is empty) — serve matches train byte-for-byte
             text = (
-                f"\n<|im_start|>user\nTime={t0:.1f}-{t1:.1f}s"
+                f"\n<|im_start|>user\nTime={t0:.1f}-{t1:.1f}s "
                 f"<|vision_start|>{'<|video_pad|>' * n_vid_tok}<|vision_end|>"
                 "<|im_end|>\n<|im_start|>assistant\n"
             )

@@ -354,3 +354,30 @@ def test_unfrozen_vision_step_updates_vision_params():
     t0 = np.asarray(jax.tree.leaves(params["text"])[0])
     assert not np.array_equal(np.asarray(jax.tree.leaves(p1["text"])[0]), t0)
     assert not np.array_equal(np.asarray(jax.tree.leaves(p2["text"])[0]), t0)
+
+
+def test_dataset_retry_escapes_fixed_point(annotation, tmp_path):
+    """index 0 is a fixed point of the reference's index*13 % n resample —
+    a broken sample 0 must fall through to a good one instead of recursing
+    forever, and an all-broken dataset must raise, not hang."""
+    import json as _json
+
+    with open(annotation) as f:
+        good = f.readline()
+    broken = _json.loads(good)
+    broken[0]["content"][0]["video"] = "/nonexistent/missing.mp4"
+    mixed = str(tmp_path / "mixed.jsonl")
+    with open(mixed, "w") as f:
+        f.write(_json.dumps(broken) + "\n")
+        f.write(good)
+    vid_cfg = VideoConfig(fps=2.0, video_min_pixels=28 * 28, video_max_pixels=16 * 28 * 28)
+    ds = StreamDataset([mixed], cfg=CFG, encode=FakeTokenizer(TOK), video=vid_cfg)
+    ex = ds[0]  # resamples 0 -> (fixed point) -> 1
+    assert ex.input_ids.shape[0] > 0
+
+    allbad = str(tmp_path / "allbad.jsonl")
+    with open(allbad, "w") as f:
+        f.write(_json.dumps(broken) + "\n")
+    ds2 = StreamDataset([allbad], cfg=CFG, encode=FakeTokenizer(TOK), video=vid_cfg)
+    with pytest.raises(RuntimeError, match="every resample failed"):
+        ds2[0]
