@@ -154,7 +154,12 @@ def _decode_attention_merge(
     c_b: int = 2048,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Decode attention = pallas partials over the big arena + exact jnp
+    """TEST-ONLY (v1, superseded by streaming_decode_attention_full — the
+    single-call joint softmax the SVT_USE_PALLAS_DECODE path uses; this
+    partial+merge form measured slower and survives only as the numeric
+    cross-check in tests/test_pallas_attention.py).
+
+    Decode attention = pallas partials over the big arena + exact jnp
     softmax over the tiny parts (decode delta + the token itself), merged in
     log2 space. Numerically identical to one softmax over the concatenated
     keys (same online-softmax algebra as the prefill kernel)."""
@@ -341,6 +346,7 @@ def language_forward_streaming(
     arena_mask = jnp.broadcast_to(
         (jnp.arange(C) < visible_len)[None, :], (T, C)
     )
+    custom_self_mask = self_mask is not None
     if self_mask is None:
         self_mask = jnp.tril(jnp.ones((T, T), bool))
 
@@ -349,12 +355,15 @@ def language_forward_streaming(
         # flash kernel beats the XLA-fused path end-to-end (4.98 vs 4.65
         # ingest FPS on v5e-1); standalone-dispatch microbenchmarks are
         # misleading on this runtime. SVT_USE_PALLAS_ATTN=0 disables.
+        # The kernel hard-codes a CAUSAL self mask, so the auto gate must
+        # never fire for a caller-supplied self_mask.
         import os
 
         use_pallas = (
             os.environ.get("SVT_USE_PALLAS_ATTN", "1") != "0"
             and jax.default_backend() in ("tpu", "axon")
             and extra is None
+            and not custom_self_mask
             and T >= 64
             and T % 64 == 0
             and C % 512 == 0

@@ -208,8 +208,12 @@ def _decode_full_kernel(
 
     @pl.when(jnp.logical_not(is_arena))
     def _small():
-        # delta rows [0, e_delta) visible below evis; self rows [e_delta, ..)
-        # always visible; padding rows beyond never
+        # delta rows [0, e_delta) visible below evis; rows [e_delta, e1) are
+        # the ALWAYS-VISIBLE self block. CONTRACT: k_small carries no padding
+        # rows — e1 == e_delta + T_self exactly (both static; asserted in the
+        # wrapper). A caller that ever bucket-pads k_small must extend this
+        # mask with an upper bound or the pad rows' zero-K logits join the
+        # softmax.
         col = jax.lax.broadcasted_iota(jnp.int32, (1, e1), 1)
         mask = (col < evis) | (col >= e_delta)
         accumulate(
@@ -250,6 +254,9 @@ def streaming_decode_attention_full(
     assert C % c_b == 0, (C, c_b)
     n_tiles = C // c_b
     E1 = k_small.shape[0]
+    # no-padding contract (see _small in the kernel): every row past e_delta
+    # is a REAL self row, unconditionally visible
+    assert E1 > e_delta, (E1, e_delta)
     qs = (q_rot.astype(jnp.float32) * (LOG2E / float(np.sqrt(hd)))).reshape(
         Hkv, G, hd
     )
@@ -318,6 +325,12 @@ def streaming_decode_attention(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Partial (unnormalised) flash attention of ONE token over the arena.
+
+    TEST-ONLY (v1, superseded): the production opt-in decode kernel is
+    streaming_decode_attention_full (one joint softmax — v1's separate
+    partials + jnp merge measured ~3 ms/chunk slower, CLAUDE.md negative
+    result #2). Kept as the independent numeric cross-check for the v2
+    kernel in tests/test_pallas_attention.py; no runtime path calls it.
 
     Returns log2-space online-softmax partials (m [H], l [H], acc [H, hd])
     for the caller to merge with the decode-delta/self parts (tiny, computed

@@ -710,9 +710,17 @@ class StreamingEngine:
                 patch_dim = (
                     vcfg.in_channels * vcfg.temporal_patch_size * vcfg.patch_size**2
                 )
-                px = jnp.zeros((int(np.prod(g)), patch_dim), self.dtype)
+                # HOST float32, like real callers ship (serve.py reads the
+                # ingest pipeline's f32 patches): warms the f32->self.dtype
+                # convert tiny-op AND the [S, patch_dim] host transfer that
+                # _prepare_chunk's jnp.asarray(pixel_patches, self.dtype)
+                # performs — a device-side jnp.zeros in the model dtype
+                # would warm neither (the chunk-0-spike class).
+                px = np.zeros((int(np.prod(g)), patch_dim), np.float32)
                 jax.block_until_ready(
-                    _model.encode_video(self.cfg, self.params, px, (g,))
+                    _model.encode_video(
+                        self.cfg, self.params, jnp.asarray(px, self.dtype), (g,)
+                    )
                 )
                 _fence(f"patches-encode {g}")
 
@@ -807,7 +815,27 @@ class StreamingEngine:
         if plan.changed and self.stream.pos_mode == "append":
             # positions travel with their slots; no re-indexing
             self._pos_host[:, :new_len] = self._pos_host[:, plan.src]
-        # the uncached tail is always the newest tokens — still at the end
+        if self.uncached_tail and plan.changed:
+            # eviction may prune tokens FROM the uncached tail itself (e.g.
+            # text_round=1 deletes the previous round's turn while its
+            # force-appended <|im_end|> is still unforwarded). A pruned
+            # uncached token simply ceases to exist — it has no KV to drop —
+            # but the tail count must shrink with it, or the last CACHED
+            # table token gets re-forwarded as "tail" and its arena slot is
+            # overwritten with a different-context instance (the invariant:
+            # same id, different instance = different KV = wrong results).
+            src = np.asarray(plan.src)
+            tail_mask = src >= self.cached
+            new_tail = int(tail_mask.sum())
+            if new_tail and not bool(tail_mask[new_len - new_tail :].all()):
+                raise RuntimeError(
+                    "eviction relocated uncached tokens away from the table "
+                    "end; re-prefill cannot express a mid-table uncached "
+                    "token (this text_round/GT-forcing combination is "
+                    "unsupported — raise text_round or commit before "
+                    "evicting)"
+                )
+            self.uncached_tail = new_tail
         self.cached = new_len - self.uncached_tail
         return plan
 
@@ -986,18 +1014,17 @@ class StreamingEngine:
         chunk_ids = np.concatenate([tail_ids, new_ids]).astype(np.int32)
         n_real = int(chunk_ids.shape[0])
         t_pad = _bucket(n_real, st.prefill_buckets)
-        for s in chunk_segs:
-            self.table.append(s)
-        self.uncached_tail = 0
 
         C = st.kv_capacity
         total = self.cached + n_real
-        assert total == self.table.total_len()
         n_delta = max_new + extra_slots
         # chunk_step writes t_pad rows at insert_at=cached (the padded prefill
         # block) and n_delta rows at cached+n_real (the decode delta); BOTH
         # high-water marks must fit or dynamic_update_slice would clamp the
         # start index and silently overwrite valid cached KV misaligned.
+        # Checked BEFORE the table append / tail reset below: a caller that
+        # catches this ValueError (one oversized qa chunk on a long-running
+        # session) must be left with a consistent, usable engine.
         high_water = max(self.cached + t_pad, total + n_delta)
         if high_water > C:
             raise ValueError(
@@ -1009,6 +1036,10 @@ class StreamingEngine:
                 f"text_sink/text_sliding_window so fewer tokens survive "
                 f"eviction, or add a smaller prefill bucket."
             )
+        for s in chunk_segs:
+            self.table.append(s)
+        self.uncached_tail = 0
+        assert total == self.table.total_len()
 
         if st.pos_mode == "shrink":
             # contiguous re-index over the whole surviving table every chunk;

@@ -66,7 +66,16 @@ class Oracle:
     def _apply_index(self, idx: np.ndarray):
         self.ids = self.ids[idx]
         cache_len = self.k_cache[0].shape[0]
-        cidx = idx[idx < cache_len]  # the uncached tail is always last & survives
+        cached_mask = idx < cache_len
+        # eviction may prune uncached tail tokens themselves (text_round=1
+        # deletes the prior turn while its forced <|im_end|> is still
+        # unforwarded) — recount the surviving tail instead of assuming it
+        n_tail = int((~cached_mask).sum())
+        assert n_tail == 0 or bool(cached_mask[: len(idx) - n_tail].all()), (
+            "uncached tokens relocated mid-table"
+        )
+        self._uncached = n_tail
+        cidx = idx[cached_mask]
         for l in range(len(self.k_cache)):
             self.k_cache[l] = self.k_cache[l][cidx]
             self.v_cache[l] = self.v_cache[l][cidx]
@@ -589,3 +598,17 @@ def test_position_descriptors_autosize_past_256_segments():
     np.testing.assert_allclose(
         np.asarray(dev)[:, : host.shape[1]], host, atol=1e-5
     )
+
+
+def test_streaming_text_round_one_prunes_uncached_tail(params):
+    """text_round=1 prunes the PREVIOUS round's turn while its force-appended
+    <|im_end|> is still the uncached tail: the token ceases to exist (it was
+    never forwarded, so there is no KV to drop) and uncached_tail must shrink
+    with it. Regression: the engine used to keep uncached_tail=1 and
+    re-forward the last CACHED table token as 'tail', overwriting its arena
+    slot with a different-context instance."""
+    eng = drive(
+        params, n_chunks=6, text_round=1, visual_round=3, sink=4, window=3,
+        max_new=4,
+    )
+    assert eng.cached + eng.uncached_tail == eng.table.total_len()
