@@ -60,7 +60,6 @@ def mrope_positions_from_ids(
     vision_tok |= ids == video_token_id
     vision_tok |= ids == image_token_id
 
-    st = 0
     cursor = 0  # write cursor into positions
     next_start = 0.0
     vid_i = 0
@@ -100,7 +99,6 @@ def mrope_positions_from_ids(
             positions[:, cursor : cursor + block] = pos3
             next_start = float(pos3.max()) + 1.0
             cursor += block
-        st = cursor
 
     delta = float(positions.max()) + 1.0 - n if n else 0.0
     return positions, delta

@@ -68,12 +68,6 @@ def vision_geometry(
     for t, h, w in grid_thw:
         # --- rotary pos ids (per patch, permuted so each merge-unit is contiguous)
         gh, gw = h // merge, w // merge
-        hpos = np.arange(h).reshape(gh, merge, 1, 1)
-        hpos = np.broadcast_to(
-            (hpos * 0 + np.arange(h).reshape(gh, merge)[:, :, None, None]),
-            (gh, merge, gw, merge),
-        )
-        # simpler: build directly
         hh = np.broadcast_to(np.arange(h)[:, None], (h, w))
         hh = hh.reshape(gh, merge, gw, merge).transpose(0, 2, 1, 3).reshape(-1)
         ww = np.broadcast_to(np.arange(w)[None, :], (h, w))

@@ -97,7 +97,8 @@ def _quantize_weight_int4(w, *, contract_axis, group):
 
 
 def quantize_weight_int4(
-    w: jnp.ndarray, *, contract_axis: int = -2, group: int = INT4_GROUP
+    w: jnp.ndarray, *, contract_axis: int = -2, group: int = INT4_GROUP,
+    donate: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Symmetric group-wise int4 quantization, two values packed per int8
     byte along the CONTRACT axis (so the matmul can unpack into two
@@ -111,7 +112,15 @@ def quantize_weight_int4(
     D = w.shape[ax]
     assert D % 2 == 0, (w.shape, ax)
     g = group if D % group == 0 else D
-    return _quantize_weight_int4(w, contract_axis=ax, group=g)
+    out = _quantize_weight_int4(w, contract_axis=ax, group=g)
+    if donate and isinstance(w, jax.Array):
+        # free the bf16 source as soon as its packed copy exists — the
+        # conversion-time HBM headroom donation promises (the int8 path
+        # donates through jit argnums; packing reads w once, so an explicit
+        # post-hoc delete achieves the same peak after this weight)
+        jax.block_until_ready(out)
+        w.delete()
+    return out
 
 
 def qdot4(
@@ -278,7 +287,7 @@ def quantize_language_params(
     decode at B=1 is weight-bandwidth-bound) with per-output-channel scales."""
     assert bits in (4, 8), bits
     qw = (
-        (lambda w, donate=False: quantize_weight_int4(w, contract_axis=-2))
+        (lambda w, donate=False: quantize_weight_int4(w, contract_axis=-2, donate=donate))
         if bits == 4
         else (lambda w, donate=False: quantize_weight(w, contract_axis=-2, donate=donate))
     )

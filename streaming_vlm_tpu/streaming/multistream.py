@@ -50,6 +50,7 @@ from .engine import (
     ChunkHandle,
     ChunkStatics,
     StreamingEngine,
+    _bucket,
     chunk_step_batched,
     compact_arena_batched,
 )
@@ -300,7 +301,8 @@ class MultiStreamEngine:
         if isinstance(max_new, (list, tuple, np.ndarray)):
             assert len(max_new) == self.n
             budgets = [
-                int(m) if m else st.max_tokens_per_chunk for m in max_new
+                int(m) if m is not None else st.max_tokens_per_chunk
+                for m in max_new
             ]
         else:
             budgets = [int(max_new or st.max_tokens_per_chunk)] * self.n
@@ -327,6 +329,36 @@ class MultiStreamEngine:
             self.k_arena, self.v_arena, self.ids_arena = compact_arena_batched(
                 self.k_arena, self.v_arena, self.ids_arena, jnp.asarray(src)
             )
+
+        # 1b. ATOMIC capacity pre-pass: every lane checked against the
+        # round's SHARED bucket BEFORE any _prepare_chunk mutates (prep
+        # appends table segments and zeroes uncached_tail — raising after
+        # some lanes prepped would leave their tables claiming tokens whose
+        # KV is never written, the non-recoverable state the solo engine
+        # explicitly avoids by checking before its append).
+        n_reals = [
+            e.uncached_tail
+            + (
+                0
+                if idle[b]
+                else sum(len(s.ids) for s in chunk_segs[b])
+            )
+            for b, e in enumerate(self.engines)
+        ]
+        t_shared = max(_bucket(n, st.prefill_buckets) for n in n_reals)
+        for b, e in enumerate(self.engines):
+            # the decode scan runs the ROUND max for every lane (capped
+            # lanes stop emitting, but the delta block is sized max_new) —
+            # budget the shared scan length, exactly like _prepare_chunk
+            hw = max(e.cached + t_shared, e.cached + n_reals[b] + max_new)
+            if hw > st.kv_capacity:
+                raise ValueError(
+                    f"stream {b}: round needs {hw} slots (cached={e.cached},"
+                    f" chunk={n_reals[b]} padded to the round's shared "
+                    f"bucket {t_shared}, max_new={max_new}) but "
+                    f"kv_capacity={st.kv_capacity}; raise kv_capacity or "
+                    f"align stream protocols. No lane state was modified."
+                )
 
         # 2. per-stream host prep via the single-stream code path; idle lanes
         # prep an empty chunk (tail re-forward only, no table append).
@@ -403,10 +435,28 @@ class MultiStreamEngine:
             # the same mechanism idle lanes already rely on. The executable
             # is keyed by max_nv, so rounds whose max matches a prewarmed
             # grid's count reuse that compile.
+            # .shape metadata only — np.asarray(e) would COPY each lane's
+            # whole [n_vis, D] embed block device->host every vision round
+            # (~2 MB/lane over the 4-18 MB/s tunnel), blocking before the
+            # step dispatch (the same pitfall fixed in the uniform path)
             counts = [
-                0 if (e is None or idle[b]) else int(np.asarray(e).shape[0])
+                0 if (e is None or idle[b]) else int(e.shape[0])
                 for b, e in enumerate(vis_embeds)
             ]
+            for b, p in enumerate(preps):
+                # the converse of the supplied-but-no-pads assert below: a
+                # lane whose chunk CARRIES video_pad tokens but got a None
+                # embeds entry would silently forward raw pad-token
+                # embeddings (garbage KV, no error)
+                assert (
+                    counts[b]
+                    or idle[b]
+                    or p["vis_slots"] is None
+                    or p["vis_slots"].shape[0] == 0
+                ), (
+                    f"lane {b}: chunk carries video_pad tokens but its "
+                    f"vis_embeds entry is None"
+                )
             if any(counts):
                 max_nv = max(counts)
                 D = self.cfg.text.hidden_size
@@ -508,6 +558,12 @@ class MultiStreamEngine:
             # that skipped the round would: its sampling rng does not advance
             keep = jnp.asarray(idle)[:, None]
             self.rngs = jnp.where(keep, rngs_before, self.rngs)
+        # re-pin: eager ops normalize NamedSharding specs to a DIFFERENT
+        # spelling (P(None,None) -> P()) and a re-spelled committed input is
+        # a new jit-cache entry — the next round would recompile the whole
+        # batched step. device_put returns the same object when the forms
+        # already agree (measured), so this is free in the steady state.
+        self._pin_lane_rows()
         handles = []
         for b, (p, e) in enumerate(zip(preps, self.engines)):
             # gen/n_gen stay None until finish_round fills them with numpy
@@ -698,12 +754,25 @@ class MultiStreamEngine:
         patch_dim = vcfg.in_channels * vcfg.temporal_patch_size * vcfg.patch_size**2
         vis_variants: List[Optional[int]] = []
         for g in grids:
+            S = int(np.prod(g))
+            # HOST float32 patches, like real callers ship: warms the
+            # f32->model-dtype convert tiny-op and the host->device
+            # transfer handshakes the first real round would otherwise pay
+            # (engine.prewarm has the same rule). Both shapes matter: the
+            # [B, S, pd] uniform encode_round AND the [S, pd] per-lane
+            # transfer encode_round_mixed performs (the server's path).
             jax.block_until_ready(
-                self.encode_round(
-                    jnp.zeros((self.n, int(np.prod(g)), patch_dim), self.dtype), g
+                self.encode_round(np.zeros((self.n, S, patch_dim), np.float32), g)
+            )
+            jax.block_until_ready(
+                model.encode_video(
+                    self.cfg,
+                    self.params,
+                    jnp.asarray(np.zeros((S, patch_dim), np.float32), self.dtype),
+                    (g,),
                 )
             )
-            vis_variants.append(int(np.prod(g)) // mu)
+            vis_variants.append(S // mu)
         if include_no_vision or not grids:
             vis_variants.append(None)
 
@@ -728,6 +797,11 @@ class MultiStreamEngine:
                             )
                         )
 
+        # HOST numpy for every row-state input, exactly like the real rounds
+        # (device_arrays=False host assembly): the jit's own put warms the
+        # transfer AND the cpp-fastpath cache entry real rounds will hit — a
+        # prewarm-side jnp array is a different entry form and round 0 would
+        # take the slow python dispatch path once per executable.
         if st.pos_mode == "shrink":
             desc, _, _, _ = self.engines[0].table.position_descriptors(
                 spatial_merge_size=vcfg.spatial_merge_size,
@@ -735,21 +809,16 @@ class MultiStreamEngine:
                 extra_text=1,
             )
             slot_pos = {
-                k: jnp.asarray(np.tile(v, (self.n, 1))) for k, v in desc.items()
+                k: np.tile(v, (self.n, 1)) for k, v in desc.items()
             }
         else:
-            slot_pos = jnp.zeros((self.n, 3, C), jnp.float32)
+            slot_pos = np.zeros((self.n, 3, C), np.float32)
 
-        zero = jnp.zeros((self.n,), jnp.int32)
-        eos = jnp.full((self.n,), self.cfg.tokens.im_end, jnp.int32)
+        zero = np.zeros((self.n,), np.int32)
+        eos = np.full((self.n,), self.cfg.tokens.im_end, np.int32)
         n_compiled = 0
         for t_pad in buckets or st.prefill_buckets:
-            # host put, not jnp.full: warms the host->device transfer path
-            # the real round uses (first put of a new shape pays a ~35 ms
-            # tunnel handshake — see StreamingEngine.prewarm)
-            tokens = jnp.asarray(
-                np.full((self.n, t_pad), self.cfg.tokens.pad, np.int32)
-            )
+            tokens = np.full((self.n, t_pad), self.cfg.tokens.pad, np.int32)
             for max_new in max_new_list or (st.max_tokens_per_chunk,):
                 for n_vis in vis_variants:
                     statics = ChunkStatics(
@@ -771,9 +840,7 @@ class MultiStreamEngine:
                     vs = (
                         None
                         if n_vis is None
-                        else jnp.asarray(
-                            np.tile(np.arange(n_vis, dtype=np.int32), (self.n, 1))
-                        )
+                        else np.tile(np.arange(n_vis, dtype=np.int32), (self.n, 1))
                     )
                     (
                         self.k_arena,
@@ -795,8 +862,16 @@ class MultiStreamEngine:
                         zero,
                         zero,
                         eos,
-                        jnp.full((self.n,), max_new, jnp.int32),
-                        jax.random.split(jax.random.PRNGKey(0), self.n),
+                        np.full((self.n,), max_new, np.int32),
+                        # self.rngs, NOT a fresh split: under a mesh the
+                        # lane rngs are COMMITTED to a lane sharding
+                        # (_pin_lane_rows), and a committed input is a
+                        # DIFFERENT jit-cache entry than an uncommitted one
+                        # — prewarming with fresh keys would leave round 0
+                        # to recompile the whole batched step mid-stream
+                        # (verified: _cache_size 1->2). rngs are not
+                        # donated; the dummy step leaves them untouched.
+                        self.rngs,
                     )
                     n_compiled += 1
         # idle-lane rng freeze (process_round_async): warm the bool-list
@@ -804,6 +879,10 @@ class MultiStreamEngine:
         # tiny-op remote compiles mid-stream
         keep = jnp.asarray([False] * self.n)[:, None]
         self.rngs = jnp.where(keep, self.rngs, self.rngs)
+        # the eager where above re-spells the rng sharding (P(...) -> P());
+        # re-pin so round 0's committed input matches what the dummy steps
+        # just compiled against (see process_round_async)
+        self._pin_lane_rows()
         jax.block_until_ready(self.k_arena)
         return n_compiled
 

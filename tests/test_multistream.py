@@ -562,3 +562,79 @@ def test_text_only_active_lane_in_uniform_vision_round(params, vis_embeds_rounds
             )
     for e in ms.engines:
         assert e.cached + e.uncached_tail == e.table.total_len()
+
+
+def test_multistream_prewarm_covers_round_on_mesh(params):
+    """Prewarm must compile with the SAME input commitments real rounds use:
+    under a mesh the lane rngs are committed to a lane sharding, and a
+    committed input is a different jit-cache entry than an uncommitted one —
+    a sharded round after prewarm must trigger zero new compilation
+    (regression: prewarm used fresh uncommitted PRNG keys and round 0
+    recompiled the whole batched step mid-stream)."""
+    from streaming_vlm_tpu.parallel.mesh import make_mesh, shard_params
+    from streaming_vlm_tpu.streaming.engine import chunk_step_batched
+
+    mesh = make_mesh({"data": 1, "model": 2})
+    sharded, _ = shard_params(params, mesh)
+    ms = MultiStreamEngine(
+        CFG, sharded, _stream_cfg(), _greedy(), n_streams=2,
+        dtype=jnp.float32, mesh=mesh,
+    )
+    ms.prewarm(grids=(GRID,))
+    size0 = chunk_step_batched._cache_size()
+    builders = [PromptBuilder(TOK, FakeTokenizer(TOK)) for _ in range(2)]
+    _, end_bias = builders[0].measure_biases()
+    rng = np.random.default_rng(0)
+    D = CFG.text.hidden_size
+    segs = [_chunk_segs(builders[b], 0, "q", 0.0) for b in range(2)]
+    ve = rng.normal(size=(2, N_VID_TOK, D)).astype(np.float32) * 0.1
+    out = ms.process_round(segs, vis_embeds=jnp.asarray(ve), grid_thw=GRID)
+    ms.commit_assistant([g for g, _ in out], end_bias, 0)
+    assert chunk_step_batched._cache_size() == size0, (
+        "sharded round compiled a new batched-step executable after prewarm"
+    )
+
+
+def test_round_capacity_error_is_atomic(params):
+    """A round that cannot fit (here: an absurd shared decode budget) must
+    raise BEFORE any lane's table is mutated: every engine keeps
+    cached + uncached_tail == table length, and the SAME round retried with
+    a sane budget produces exactly what an undisturbed engine pair would."""
+    def fresh():
+        ms = MultiStreamEngine(
+            CFG, params, _stream_cfg(), _greedy(), n_streams=2,
+            dtype=jnp.float32,
+        )
+        bs = [PromptBuilder(TOK, FakeTokenizer(TOK)) for _ in range(2)]
+        return ms, bs, bs[0].measure_biases()[1]
+
+    rng = np.random.default_rng(0)
+    D = CFG.text.hidden_size
+
+    def round_inputs(builders, i):
+        segs = [_chunk_segs(builders[b], i, "q", 0.0) for b in range(2)]
+        ve = np.random.default_rng(50 + i).normal(size=(2, N_VID_TOK, D)).astype(np.float32) * 0.1
+        return segs, jnp.asarray(ve)
+
+    ms_ref, b_ref, eb = fresh()
+    ref = []
+    for i in range(2):
+        segs, ve = round_inputs(b_ref, i)
+        out = ms_ref.process_round(segs, vis_embeds=ve, grid_thw=GRID)
+        ms_ref.commit_assistant([g for g, _ in out], eb, i)
+        ref.append([np.asarray(g) for g, _ in out])
+
+    ms, bld, eb2 = fresh()
+    for i in range(2):
+        segs, ve = round_inputs(bld, i)
+        if i == 1:
+            with pytest.raises(ValueError, match="No lane state was modified"):
+                ms.process_round(
+                    segs, vis_embeds=ve, grid_thw=GRID, max_new=10**6
+                )
+            for e in ms.engines:
+                assert e.cached + e.uncached_tail == e.table.total_len()
+        out = ms.process_round(segs, vis_embeds=ve, grid_thw=GRID)
+        ms.commit_assistant([g for g, _ in out], eb2, i)
+        for b in range(2):
+            np.testing.assert_array_equal(ref[i][b], np.asarray(out[b][0]))
