@@ -595,6 +595,13 @@ def run_with_retries(args, argv):
             # formulation is a different executable than the frames one
             worker_argv += ["--vision", "patches"]
             print("[retry] switching to --vision patches", file=sys.stderr, flush=True)
+        if i == len(delays) - 1 and "--streams" not in argv:
+            # last resort: the multi-stream default compiles a larger
+            # executable family — fall back to the single-stream bench (a
+            # disjoint set of executables) so a fault pinned to a batched
+            # exe still yields a nonzero artifact
+            worker_argv += ["--streams", "1"]
+            print("[retry] falling back to --streams 1", file=sys.stderr, flush=True)
         # stderr inherits (live per-chunk progress); stdout captured for JSON.
         # A fully-down tunnel HANGS the first device op (it does not fault),
         # so each attempt gets a hard wall-clock cap — a normal worker run is
@@ -640,9 +647,12 @@ def main():
     ap.add_argument("--chunks", type=int, default=40)
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel devices (7B on v5e-8; 1 = single chip)")
-    ap.add_argument("--streams", type=int, default=1,
+    ap.add_argument("--streams", type=int, default=None,
                     help="concurrent streams batched on one chip "
-                         "(multi-stream serving; reports AGGREGATE fps)")
+                         "(multi-stream serving; reports AGGREGATE fps). "
+                         "Default: the measured max-realtime lane count for "
+                         "the model (3b: 12, 7b: 6 — docs/MULTISTREAM.md); "
+                         "pass --streams 1 for the single-stream bench")
     ap.add_argument("--dp", type=int, default=1,
                     help="lane-group data-parallel shards: the lane dim of "
                          "the stacked arena splits over a 'data' mesh axis "
@@ -658,6 +668,13 @@ def main():
                          "(default) or host-patchified bf16 patches (fault "
                          "fallback; 2x upload bytes)")
     args = ap.parse_args()
+
+    if args.streams is None:
+        # headline default = the strongest measured-honest configuration:
+        # every lane individually realtime, aggregate FPS maximal
+        # (BENCH_MULTISTREAM_r03B / BENCH_7B_MS_r03B; 3B B=16 plateaus and
+        # misses realtime, 7B B=8 runs 5% over realtime)
+        args.streams = {"3b": 12, "7b": 6, "tiny": 1}[args.model]
 
     if args.model == "tiny":
         # CPU-mesh smoke of the full bench protocol (incl. --tp sharding):

@@ -397,22 +397,32 @@ class StreamDataset:
 
     def __getitem__(self, index: int) -> StreamExample:
         # deterministic resample on error (reference :412-422), made
-        # terminating: index*13 % n has fixed points (0 always; any i with
-        # 12i ≡ 0 mod n) where the reference recurses forever — step past
-        # them, and give up after n attempts if every sample is broken.
+        # terminating AND exhaustive: index*13 % n is not a permutation in
+        # general — it has fixed points (0 always; any i with 12i ≡ 0 mod n)
+        # where the reference recurses forever, and short multiplicative
+        # cycles (n=7: 1 -> 6 -> 1) that would exhaust the attempt budget
+        # while most of the dataset is healthy. Track visited indices and
+        # step +1 past ANY revisit, so n attempts provably cover n distinct
+        # samples; give up only when every sample is broken.
         import sys
 
         n = len(self.handles)
+        seen = set()
         for _ in range(n):
+            seen.add(index)
             try:
                 return self.getitem(index)
             except Exception as e:
                 print(f"dataset: bug at index {index}: {e}", file=sys.stderr)
+                if len(seen) == n:
+                    break  # nothing left to try
                 nxt = index * 13 % n
-                index = nxt if nxt != index else (index + 1) % n
+                while nxt in seen:
+                    nxt = (nxt + 1) % n
+                index = nxt
         raise RuntimeError(
-            f"dataset: every resample failed (started a chain of {n} "
-            f"attempts); the dataset files are unreadable"
+            f"dataset: every resample failed ({n} distinct samples tried); "
+            f"the dataset files are unreadable"
         )
 
 

@@ -90,6 +90,13 @@ class StreamClient:
         assert not self.closed, "client closed"
         self._server._check_alive()
         st = self._server.engine.stream
+        if max_new is not None and int(max_new) < 1:
+            # the batched step asserts every lane's budget >= 1; an
+            # unvalidated 0 here would fail-stop the whole server mid-round
+            raise ValueError(
+                f"max_new must be >= 1 (got {max_new}); omit it for the "
+                f"default ({st.max_tokens_per_chunk})"
+            )
         n_tok = sum(len(s.ids) for s in chunk_segs)
         if n_tok > max(st.prefill_buckets):
             raise ValueError(
@@ -108,7 +115,37 @@ class StreamClient:
         else:
             assert grid_thw is not None
             cfg = self._server.engine.cfg
-            n_patches = int(np.prod([int(x) for x in grid_thw]))
+            vc = cfg.vision
+            t_g, h_g, w_g = (int(x) for x in grid_thw)
+            # geometry the vision tower would reject INSIDE the round loop
+            # (vision_geometry reshapes (h, w) into merge-size blocks): a
+            # malformed grid must be this client's error, not a server-
+            # fatal one
+            if (
+                t_g < 1
+                or h_g < vc.spatial_merge_size
+                or w_g < vc.spatial_merge_size
+                or h_g % vc.spatial_merge_size
+                or w_g % vc.spatial_merge_size
+            ):
+                raise ValueError(
+                    f"grid {tuple(grid_thw)} is not a valid vision grid: t "
+                    f">= 1 and h, w must be positive multiples of "
+                    f"spatial_merge_size={vc.spatial_merge_size}"
+                )
+            patch_dim = (
+                vc.in_channels * vc.temporal_patch_size * vc.patch_size**2
+            )
+            if (
+                getattr(pixel_patches, "ndim", 0) != 2
+                or int(pixel_patches.shape[1]) != patch_dim
+            ):
+                raise ValueError(
+                    f"pixel_patches must be [n_patches, {patch_dim}] "
+                    f"(in_channels*temporal_patch_size*patch_size^2); got "
+                    f"shape {getattr(pixel_patches, 'shape', None)}"
+                )
+            n_patches = t_g * h_g * w_g
             if int(pixel_patches.shape[0]) != n_patches:
                 raise ValueError(
                     f"pixel_patches has {pixel_patches.shape[0]} rows but "
@@ -354,7 +391,17 @@ class MultiStreamServer:
         at exactly the largest bucket can still overflow inside the round.
         Mirrors _prepare_chunk's n_real and the batched round's per-lane
         high-water check; returns the error to deliver to this client, or
-        None to admit. Runs under the server lock with the client placed."""
+        None to admit. Runs under the server lock with the client placed
+        and the round's eviction already applied (_round_locked evicts
+        first, so `cached` here is the post-evict occupancy the engine's
+        own pre-pass will certify — checking the pre-evict value would
+        spuriously reject steady-state chunks whenever kv_capacity is
+        sized to the post-evict high-water, which is exactly what the
+        engine's capacity errors tell operators to size it to).
+
+        This check uses the lane's OWN bucket and budget — what the chunk
+        needs if it were alone. Cross-lane pressure (the round's SHARED
+        bucket / round-max budget) is handled by _shared_admission."""
         st = self.engine.stream
         e = self.engine.engines[client.lane]
         n_real = e.uncached_tail + sum(len(s.ids) for s in w["segs"])
@@ -362,7 +409,8 @@ class MultiStreamServer:
             t_pad = _bucket(n_real, st.prefill_buckets)
         except ValueError as exc:
             return exc
-        max_new = w.get("max_new") or st.max_tokens_per_chunk
+        mn = w["max_new"]
+        max_new = st.max_tokens_per_chunk if mn is None else int(mn)
         hw = max(e.cached + t_pad, e.cached + n_real + max_new)
         if hw > st.kv_capacity:
             return ValueError(
@@ -372,6 +420,85 @@ class MultiStreamServer:
                 f"larger kv_capacity"
             )
         return None
+
+    def _shared_admission(
+        self,
+        work: List[Optional[Dict[str, Any]]],
+        admitted: List[StreamClient],
+    ) -> List[StreamClient]:
+        """Round-shared capacity admission. Mirrors the batched round's
+        atomic pre-pass (MultiStreamEngine.round_capacity_error): every lane
+        — idle residents included — pays the round's SHARED prefill bucket
+        (the step's static shape is the max over lanes) and the SHARED
+        decode-scan length (round-max budget). A chunk that passed its own
+        per-lane check can therefore still sink the round: a qa-injected
+        1024-bucket chunk on lane B overflows near-capacity lane A, which
+        lane A could never have screened at submit time.
+
+        Resolution: while any lane overflows, reject the admitted chunk
+        exerting the binding shared pressure (largest own-bucket chunk if
+        the shared-bucket term binds, largest-budget chunk otherwise) with
+        a _ClientError to ITS client, and re-evaluate. Terminates (one
+        chunk removed per iteration); with everything rejected the round
+        is simply skipped — the server never fail-stops on a capacity
+        conflict between individually-valid clients."""
+        st = self.engine.stream
+        C = st.kv_capacity
+        engines = self.engine.engines
+        while admitted:
+            n_reals = [
+                e.uncached_tail
+                + (
+                    0
+                    if work[b] is None
+                    else sum(len(s.ids) for s in work[b]["segs"])
+                )
+                for b, e in enumerate(engines)
+            ]
+            buckets = [_bucket(n, st.prefill_buckets) for n in n_reals]
+            t_shared = max(buckets)
+            # idle lanes ride the round at the DEFAULT budget, exactly as
+            # process_round_async fills None entries of a budgets list
+            budgets = [
+                st.max_tokens_per_chunk
+                if work[b] is None or work[b]["max_new"] is None
+                else int(work[b]["max_new"])
+                for b in range(self.engine.n)
+            ]
+            mx = max(budgets)
+            over = next(
+                (
+                    b
+                    for b, e in enumerate(engines)
+                    if max(e.cached + t_shared, e.cached + n_reals[b] + mx)
+                    > C
+                ),
+                None,
+            )
+            if over is None:
+                return admitted
+            e = engines[over]
+            if e.cached + t_shared >= e.cached + n_reals[over] + mx:
+                victim = max(admitted, key=lambda c: buckets[c.lane])
+                cause = f"shared prefill bucket {t_shared}"
+            else:
+                victim = max(admitted, key=lambda c: budgets[c.lane])
+                cause = f"round decode budget {mx}"
+            victim._results.put(
+                _ClientError(
+                    ValueError(
+                        f"chunk rejected: joining this batched round would "
+                        f"impose {cause} on every lane, overflowing "
+                        f"kv_capacity {C} at lane {over} "
+                        f"(cached={e.cached}); raise kv_capacity, lower "
+                        f"the chunk's size/max_new, or align stream "
+                        f"protocols across clients"
+                    )
+                )
+            )
+            work[victim.lane] = None
+            admitted = [c for c in admitted if c is not victim]
+        return admitted
 
     # ----------------------------------------------------------------- round
     def run_round_once(self) -> int:
@@ -423,6 +550,10 @@ class MultiStreamServer:
                 self._place(c, lane)
 
         self._round += 1
+        # evict FIRST (idempotent — the engine's round re-runs it as a
+        # no-op): admission must judge POST-evict occupancy, the same
+        # occupancy the batched round's own capacity pre-pass certifies.
+        self.engine.evict_round()
         work: List[Optional[Dict[str, Any]]] = [None] * self.engine.n
         admitted: List[StreamClient] = []
         for c in chosen:
@@ -436,6 +567,13 @@ class MultiStreamServer:
             work[c.lane] = w
             admitted.append(c)
             c._last_round = self._round
+        # cross-lane admission: the batched step sizes EVERY lane by the
+        # round's shared bucket and round-max decode budget, so a set of
+        # individually-valid chunks can still overflow a lane (even an
+        # idle resident one). Reject offending chunks to their own
+        # clients until the round fits — never fail-stop the server over
+        # a per-client capacity conflict.
+        admitted = self._shared_admission(work, admitted)
         if not admitted:
             return 0
         clients: List[Optional[StreamClient]] = list(self._lanes)

@@ -261,6 +261,57 @@ class MultiStreamEngine:
         return jnp.stack(embs)
 
     # ------------------------------------------------------------------ round
+    def evict_round(self) -> None:
+        """Run every lane's eviction policy (host table edits) and apply the
+        per-lane gather plans in ONE batched device dispatch. IDEMPOTENT
+        between commits (the table policies are keyed on each lane's
+        chunk_index, which only advances at commit): process_round_async
+        invokes it at round start, and a serving layer may ALSO invoke it
+        earlier so its admission decisions see post-evict occupancy — the
+        same occupancy the round's capacity pre-pass certifies
+        (multiserve._round_locked; checking pre-evict `cached` spuriously
+        rejects steady-state chunks on a server whose kv_capacity is sized
+        to the post-evict high-water the engine's own errors recommend)."""
+        plans = [e.evict_plan() for e in self.engines]
+        if any(p.changed for p in plans):
+            src = np.tile(self._ident_src, (self.n, 1))
+            for b, p in enumerate(plans):
+                if p.changed:
+                    src[b, : p.src.shape[0]] = p.src
+            self.k_arena, self.v_arena, self.ids_arena = compact_arena_batched(
+                self.k_arena, self.v_arena, self.ids_arena, jnp.asarray(src)
+            )
+
+    def round_capacity_error(
+        self, n_reals: Sequence[int], max_new: int
+    ) -> Optional[ValueError]:
+        """The round's ATOMIC capacity pre-pass, as a question: would a
+        batched round with these per-lane real token counts (idle lanes =
+        their uncached tail) and this round-max decode budget overflow any
+        lane? Every lane pays the round's SHARED bucket (the step's static
+        prefill shape) and the SHARED decode-scan length, so the check
+        covers idle lanes too. Returns the first offending lane's error
+        without mutating anything, or None. Callers: process_round_async
+        (raises it before any _prepare_chunk mutates) and the serving
+        admission layer (rejects the offending chunk to its own client
+        instead of fail-stopping — multiserve._shared_admission)."""
+        st = self.stream
+        t_shared = max(_bucket(n, st.prefill_buckets) for n in n_reals)
+        for b, e in enumerate(self.engines):
+            # the decode scan runs the ROUND max for every lane (capped
+            # lanes stop emitting, but the delta block is sized max_new) —
+            # budget the shared scan length, exactly like _prepare_chunk
+            hw = max(e.cached + t_shared, e.cached + n_reals[b] + max_new)
+            if hw > st.kv_capacity:
+                return ValueError(
+                    f"stream {b}: round needs {hw} slots (cached={e.cached},"
+                    f" chunk={n_reals[b]} padded to the round's shared "
+                    f"bucket {t_shared}, max_new={max_new}) but "
+                    f"kv_capacity={st.kv_capacity}; raise kv_capacity or "
+                    f"align stream protocols. No lane state was modified."
+                )
+        return None
+
     def process_round_async(
         self,
         chunk_segs: Sequence[Optional[List]],  # B lists of Seg; None = idle
@@ -319,16 +370,7 @@ class MultiStreamEngine:
             assert len(grid_thw) == self.n
 
         # 1. eviction: host table edits, then one batched gather
-        plans = [e.evict_plan() for e in self.engines]
-        if any(p.changed for p in plans):
-            C = st.kv_capacity
-            src = np.tile(self._ident_src, (self.n, 1))
-            for b, p in enumerate(plans):
-                if p.changed:
-                    src[b, : p.src.shape[0]] = p.src
-            self.k_arena, self.v_arena, self.ids_arena = compact_arena_batched(
-                self.k_arena, self.v_arena, self.ids_arena, jnp.asarray(src)
-            )
+        self.evict_round()
 
         # 1b. ATOMIC capacity pre-pass: every lane checked against the
         # round's SHARED bucket BEFORE any _prepare_chunk mutates (prep
@@ -345,20 +387,9 @@ class MultiStreamEngine:
             )
             for b, e in enumerate(self.engines)
         ]
-        t_shared = max(_bucket(n, st.prefill_buckets) for n in n_reals)
-        for b, e in enumerate(self.engines):
-            # the decode scan runs the ROUND max for every lane (capped
-            # lanes stop emitting, but the delta block is sized max_new) —
-            # budget the shared scan length, exactly like _prepare_chunk
-            hw = max(e.cached + t_shared, e.cached + n_reals[b] + max_new)
-            if hw > st.kv_capacity:
-                raise ValueError(
-                    f"stream {b}: round needs {hw} slots (cached={e.cached},"
-                    f" chunk={n_reals[b]} padded to the round's shared "
-                    f"bucket {t_shared}, max_new={max_new}) but "
-                    f"kv_capacity={st.kv_capacity}; raise kv_capacity or "
-                    f"align stream protocols. No lane state was modified."
-                )
+        err = self.round_capacity_error(n_reals, max_new)
+        if err is not None:
+            raise err
 
         # 2. per-stream host prep via the single-stream code path; idle lanes
         # prep an empty chunk (tail re-forward only, no table append).
@@ -777,25 +808,27 @@ class MultiStreamEngine:
             vis_variants.append(None)
 
         # mixed-grid rounds (process_round_async with a per-lane embeds
-        # list) pad each lane's [nb, D] embeds to the round max and stack B
-        # rows — eager tiny ops whose FIRST use would otherwise pay a
-        # remote compile mid-stream (the chunk-0-spike class; CLAUDE.md:
-        # never introduce first-use tiny eager ops after prewarm). Warm
-        # every (nb -> max_nv) pad, the visionless-lane zeros, and the
-        # stack, for all counts the given grids can produce.
+        # list — the path a MultiStreamServer ALWAYS takes, even when every
+        # client streams one resolution) pad each lane's [nb, D] embeds to
+        # the round max, zero-fill visionless lanes, and stack B rows —
+        # eager tiny ops whose FIRST use would otherwise pay a remote
+        # compile mid-stream (the chunk-0-spike class; CLAUDE.md: never
+        # introduce first-use tiny eager ops after prewarm). Warm the
+        # zeros + stack at EVERY count a round's max can take (including
+        # the single-grid case and rounds whose max is the smallest grid),
+        # and every (nb -> mx) pad pair.
         counts = sorted({v for v in vis_variants if v is not None})
-        if len(counts) > 1:
-            for mx in counts[1:]:
-                z = jnp.zeros((mx, D), self.dtype)
-                jax.block_until_ready(jnp.stack([z] * self.n))
-                for nb in counts:
-                    if nb < mx:
-                        jax.block_until_ready(
-                            jnp.pad(
-                                jnp.zeros((nb, D), self.dtype),
-                                ((0, mx - nb), (0, 0)),
-                            )
+        for mx in counts:
+            z = jnp.zeros((mx, D), self.dtype)
+            jax.block_until_ready(jnp.stack([z] * self.n))
+            for nb in counts:
+                if nb < mx:
+                    jax.block_until_ready(
+                        jnp.pad(
+                            jnp.zeros((nb, D), self.dtype),
+                            ((0, mx - nb), (0, 0)),
                         )
+                    )
 
         # HOST numpy for every row-state input, exactly like the real rounds
         # (device_arrays=False host assembly): the jit's own put warms the

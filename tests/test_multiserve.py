@@ -572,3 +572,241 @@ def test_round_admission_rejects_per_client(params):
     idx, gen = b.get(timeout=1)
     assert idx == 1
     np.testing.assert_array_equal(solo_b[1], gen)
+
+
+def test_submit_rejects_max_new_zero(params):
+    """max_new=0 must raise in submit (caller's thread): the batched step
+    asserts every lane budget >= 1, so an admitted 0 would fail-stop the
+    whole server mid-round. Regression: admission's old falsy-zero
+    `or`-default substituted the default budget and admitted it."""
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv = MultiStreamServer(ms, end_bias=END_BIAS)
+    a = srv.attach()
+    bld = PromptBuilder(TOK, FakeTokenizer(TOK))
+    segs, patches = _chunk(bld, 0, "narrate the game", 100)
+    with pytest.raises(ValueError, match="max_new must be >= 1"):
+        a.submit(segs, pixel_patches=patches, grid_thw=GRID, max_new=0)
+    # queue untouched; the server still serves and is not fail-stopped
+    solo = _solo_run(params, "narrate the game", 1, seed0=100)
+    a.submit(segs, pixel_patches=patches, grid_thw=GRID)
+    assert srv.run_round_once() == 1
+    np.testing.assert_array_equal(solo[0], a.get(timeout=1)[1])
+    assert srv.error is None
+
+
+def test_submit_rejects_bad_grid_geometry(params):
+    """A grid the vision tower cannot reshape (h/w not multiples of
+    spatial_merge_size) or patches of the wrong feature width must be THIS
+    client's error at submit time — inside the round loop they would crash
+    encode_round_mixed and fail-stop every client."""
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv = MultiStreamServer(ms, end_bias=END_BIAS)
+    a = srv.attach()
+    bld = PromptBuilder(TOK, FakeTokenizer(TOK))
+
+    # (1, 7, 7): 49 patches, 49 // merge_unit = 12 video_pad tokens — both
+    # of submit's original counting checks pass, but 7 % 2 != 0
+    bad_grid = (1, 7, 7)
+    n_vid = int(np.prod(bad_grid)) // CFG.vision.spatial_merge_unit
+    segs = bld.user_turn_segments(0, 0.0, 1.0, n_vid, bad_grid, 1.0)
+    segs.extend(bld.assistant_open_segments(0))
+    patches = np.zeros((int(np.prod(bad_grid)), PATCH_DIM), np.float32)
+    with pytest.raises(ValueError, match="valid vision grid"):
+        a.submit(segs, pixel_patches=patches, grid_thw=bad_grid)
+
+    # wrong patch feature width on a valid grid
+    segs2, good_patches = _chunk(bld, 0, "narrate", 7)
+    with pytest.raises(ValueError, match="pixel_patches must be"):
+        a.submit(segs2, pixel_patches=good_patches[:, :-1], grid_thw=GRID)
+    assert srv.error is None
+
+
+def test_shared_admission_rejects_round_budget_conflict(params):
+    """Two INDIVIDUALLY-valid submissions that cannot share a round: lane
+    B's huge (but alone-affordable) max_new becomes the round-shared decode
+    budget, overflowing lane A. The offending chunk (B's) is rejected to B
+    only; A's chunk runs and matches solo; the server never fail-stops."""
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    C = _stream_cfg().kv_capacity
+    srv = MultiStreamServer(ms, end_bias=END_BIAS)
+    a, b = srv.attach(), srv.attach()
+    ba = PromptBuilder(TOK, FakeTokenizer(TOK))
+    solo_a = _solo_run(params, "narrate the game", 1, seed0=100)
+
+    segs_a, patches_a = _chunk(ba, 0, "narrate the game", 100)
+    n_a = sum(len(s.ids) for s in segs_a)
+    tiny = PromptBuilder(TOK, FakeTokenizer(TOK)).assistant_open_segments(0)
+    n_b = sum(len(s.ids) for s in tiny)
+    mx = C - n_b - 1  # B alone: cached 0 + n_b + mx = C - 1 fits
+    assert n_a + mx > C  # ...but as the ROUND budget it overflows lane A
+
+    a.submit(segs_a, pixel_patches=patches_a, grid_thw=GRID)
+    b.submit(tiny, max_new=mx)
+    assert srv.run_round_once() == 1  # only A ran
+    with pytest.raises(ValueError, match="round decode budget"):
+        b.get(timeout=1)
+    idx, gen = a.get(timeout=1)
+    assert idx == 0
+    np.testing.assert_array_equal(solo_a[0], gen)
+    assert srv.error is None
+
+    # B keeps streaming normally after the rejection (its lane is virgin —
+    # the rejected chunk never touched the table)
+    solo_b = _solo_run(params, "describe the scene", 1, seed0=500)
+    bb = PromptBuilder(TOK, FakeTokenizer(TOK))
+    segs_b, patches_b = _chunk(bb, 0, "describe the scene", 500)
+    b.submit(segs_b, pixel_patches=patches_b, grid_thw=GRID)
+    assert srv.run_round_once() == 1
+    np.testing.assert_array_equal(solo_b[0], b.get(timeout=1)[1])
+
+
+def test_shared_admission_rejects_round_bucket_conflict(params):
+    """The shared-BUCKET variant: lane A builds up occupancy (no eviction),
+    then lane B submits a chunk bucketing at 128 while A's steady chunks
+    bucket at 64. B's chunk alone is fine (its lane is empty), A's chunk
+    alone is fine — together the shared 128 bucket overflows lane A, so
+    B's chunk is rejected and A's round proceeds untouched."""
+    def cfg(C):
+        return StreamConfig(
+            text_round=100, window_size=100, chunk_duration=1,
+            text_sink=None, text_sliding_window=None,
+            max_tokens_per_chunk=6, kv_capacity=C, prefill_buckets=(64, 128),
+        )
+
+    C = 320
+    ms = MultiStreamEngine(
+        CFG, params, cfg(C), _greedy(), n_streams=2, dtype=jnp.float32
+    )
+    srv = MultiStreamServer(ms, end_bias=END_BIAS)
+    a, b = srv.attach(), srv.attach()
+    ba = PromptBuilder(TOK, FakeTokenizer(TOK))
+
+    # solo oracle for A under the same no-eviction config
+    solo_eng = StreamingEngine(CFG, params, cfg(C), _greedy(), dtype=jnp.float32)
+    solo_bld = PromptBuilder(TOK, FakeTokenizer(TOK))
+    solo_gens = []
+
+    # stream A until one more shared-128 round would overflow its lane
+    i = 0
+    while True:
+        e = ms.engines[a.lane]
+        segs, patches = _chunk(ba, i, "narrate the game", 100 + i)
+        s_segs, s_patches = _chunk(solo_bld, i, "narrate the game", 100 + i)
+        if e.cached + 128 > C:
+            break
+        a.submit(segs, pixel_patches=patches, grid_thw=GRID)
+        assert srv.run_round_once() == 1
+        idx, gen = a.get(timeout=1)
+        s_gen, _ = solo_eng.process_chunk(
+            s_segs, pixel_patches=s_patches, grid_thw=GRID
+        )
+        solo_eng.commit_assistant(s_gen, END_BIAS, i)
+        np.testing.assert_array_equal(np.asarray(s_gen), gen)
+        solo_gens.append(gen)
+        i += 1
+        assert i < 8, "test config never reached the conflict window"
+    e = ms.engines[a.lane]
+    n_a = sum(len(s.ids) for s in segs) + e.uncached_tail
+    # A's own next chunk still fits at its own 64 bucket...
+    assert e.cached + max(64, n_a + 6) <= C
+
+    # ...but B's chunk is sized (via its query) to bucket at exactly 128
+    probe = _chunk(PromptBuilder(TOK, FakeTokenizer(TOK)), 0, "", 900)[0]
+    base = sum(len(s.ids) for s in probe)
+    assert base <= 128
+    # the query text lands in BOTH the prev-text and the user turn, so each
+    # added character (char-level FakeTokenizer) adds ~2 tokens
+    long_q = "x" * max(0, (65 - base + 1) // 2)
+    bb = PromptBuilder(TOK, FakeTokenizer(TOK))
+    segs_b, patches_b = _chunk(bb, 0, long_q, 900)
+    n_b = sum(len(s.ids) for s in segs_b)
+    assert 64 < n_b <= 128
+    assert n_b + 6 <= C  # B alone is trivially fine on an empty lane
+
+    a.submit(segs, pixel_patches=patches, grid_thw=GRID)
+    b.submit(segs_b, pixel_patches=patches_b, grid_thw=GRID)
+    assert srv.run_round_once() == 1  # only A ran
+    with pytest.raises(ValueError, match="shared prefill bucket"):
+        b.get(timeout=1)
+    idx, gen = a.get(timeout=1)
+    assert idx == i
+    s_gen, _ = solo_eng.process_chunk(
+        s_segs, pixel_patches=s_patches, grid_thw=GRID
+    )
+    np.testing.assert_array_equal(np.asarray(s_gen), gen)
+    assert srv.error is None
+
+
+def test_admission_sees_post_evict_occupancy(params):
+    """kv_capacity sized to the engine's POST-evict high-water (what its
+    own capacity errors tell operators to size to) must stream forever
+    through the server: admission runs after the round's eviction, so it
+    judges the same occupancy the batched step certifies. Regression:
+    checking PRE-evict `cached` permanently rejected steady-state chunks
+    that a solo engine with the identical config streams fine."""
+    from streaming_vlm_tpu.streaming.engine import _bucket
+
+    n_chunks = 6
+
+    def stream_cfg(C):
+        return StreamConfig(
+            text_round=3, window_size=2, chunk_duration=1, text_sink=8,
+            text_sliding_window=8, max_tokens_per_chunk=6, kv_capacity=C,
+            prefill_buckets=(64, 128),
+        )
+
+    # pass 1: measure the minimal feasible capacity (post-evict high-water)
+    # and the PRE-evict one, to prove the test discriminates
+    eng = StreamingEngine(CFG, params, stream_cfg(1024), _greedy(), dtype=jnp.float32)
+    bld = PromptBuilder(TOK, FakeTokenizer(TOK))
+    hw_post = hw_pre = 0
+    for i in range(n_chunks):
+        segs, patches = _chunk(bld, i, "narrate the game", 100 + i)
+        n_tok = sum(len(s.ids) for s in segs)
+
+        def hw(e):
+            n_real = e.uncached_tail + n_tok
+            return e.cached + max(_bucket(n_real, (64, 128)), n_real + 6)
+
+        hw_pre = max(hw_pre, hw(eng))
+        eng.evict()  # idempotent — process_chunk re-runs it as a no-op
+        hw_post = max(hw_post, hw(eng))
+        gen, _ = eng.process_chunk(segs, pixel_patches=patches, grid_thw=GRID)
+        eng.commit_assistant(gen, END_BIAS, i)
+    assert hw_pre > hw_post, "config never evicted; test proves nothing"
+
+    # pass 2: solo oracle at exactly the minimal capacity
+    eng = StreamingEngine(
+        CFG, params, stream_cfg(hw_post), _greedy(), dtype=jnp.float32
+    )
+    bld = PromptBuilder(TOK, FakeTokenizer(TOK))
+    solo = []
+    for i in range(n_chunks):
+        segs, patches = _chunk(bld, i, "narrate the game", 100 + i)
+        gen, _ = eng.process_chunk(segs, pixel_patches=patches, grid_thw=GRID)
+        eng.commit_assistant(gen, END_BIAS, i)
+        solo.append(np.asarray(gen))
+
+    # pass 3: the server at the same minimal capacity must admit every
+    # chunk (pre-evict admission rejects from the first eviction round on)
+    ms = MultiStreamEngine(
+        CFG, params, stream_cfg(hw_post), _greedy(), n_streams=1,
+        dtype=jnp.float32,
+    )
+    srv = MultiStreamServer(ms, end_bias=END_BIAS)
+    a = srv.attach()
+    bld = PromptBuilder(TOK, FakeTokenizer(TOK))
+    for i in range(n_chunks):
+        segs, patches = _chunk(bld, i, "narrate the game", 100 + i)
+        a.submit(segs, pixel_patches=patches, grid_thw=GRID)
+        assert srv.run_round_once() == 1
+        idx, gen = a.get(timeout=1)
+        assert idx == i
+        np.testing.assert_array_equal(solo[i], gen, err_msg=f"chunk {i}")
+    assert srv.error is None

@@ -638,3 +638,49 @@ def test_round_capacity_error_is_atomic(params):
         ms.commit_assistant([g for g, _ in out], eb2, i)
         for b in range(2):
             np.testing.assert_array_equal(ref[i][b], np.asarray(out[b][0]))
+
+
+def test_prewarm_covers_uniform_mixed_round_compiles(params):
+    """The serving front-end ALWAYS takes the mixed-embeds path (per-lane
+    vis_embeds list), even when every client streams ONE resolution — and
+    that path runs eager pad/stack/zeros tiny-ops whose first use is a
+    remote compile mid-stream. prewarm must warm them for EVERY round-max
+    count, including the single-grid case and an idle-lane round
+    (regression: the warm block only ran for len(counts) > 1 and only for
+    counts[1:], so uniform-resolution servers glitched on round 0)."""
+    import jax._src.test_util as jtu
+
+    ms = MultiStreamEngine(
+        CFG, params, _stream_cfg(), _greedy(), n_streams=3, dtype=jnp.float32
+    )
+    ms.prewarm(grids=(GRID,))
+    builders = [PromptBuilder(TOK, FakeTokenizer(TOK)) for _ in STREAMS]
+    _, end_bias = builders[0].measure_biases()
+    rng = np.random.default_rng(5)
+    D = CFG.text.hidden_size
+    clocks = [0, 0, 0]
+    for i in range(3):
+        segs, ve = [], []
+        for b, (q, s) in enumerate(STREAMS):
+            if b == 2 and i == 1:  # idle lane: zeros row + rng freeze
+                segs.append(None)
+                ve.append(None)
+            else:
+                segs.append(_chunk_segs(builders[b], clocks[b], q, s))
+                ve.append(
+                    jnp.asarray(
+                        rng.normal(size=(N_VID_TOK, D)).astype(np.float32) * 0.1
+                    )
+                )
+        with jtu.count_jit_compilation_cache_miss() as misses:
+            out = ms.process_round(segs, vis_embeds=ve, grid_thw=[GRID] * 3)
+        assert misses() == 0, (
+            f"round {i} compiled {misses()} executable(s) after prewarm — "
+            "a first-use tiny-op (pad/stack/zeros/where) the warm block "
+            "missed; over the TPU tunnel each is a mid-stream glitch"
+        )
+        for b in range(3):
+            if out[b] is None:
+                continue
+            ms.engines[b].commit_assistant(out[b][0], end_bias, clocks[b])
+            clocks[b] += 1

@@ -381,3 +381,41 @@ def test_dataset_retry_escapes_fixed_point(annotation, tmp_path):
     ds2 = StreamDataset([allbad], cfg=CFG, encode=FakeTokenizer(TOK), video=vid_cfg)
     with pytest.raises(RuntimeError, match="every resample failed"):
         ds2[0]
+
+
+def test_dataset_retry_escapes_multiplicative_cycle(annotation, tmp_path):
+    """index*13 % n has short cycles besides its fixed points: at n=7,
+    13 ≡ 6 (mod 7) so 1 -> 6 -> 1 loops. With samples 1 and 6 broken the
+    chain must still reach a healthy sample (visited-set +1 stepping)
+    instead of exhausting all attempts on two indices while five healthy
+    samples exist; and an all-broken dataset must try every DISTINCT
+    index exactly once before giving up."""
+    import json as _json
+
+    with open(annotation) as f:
+        good = f.readline()
+    broken = _json.loads(good)
+    broken[0]["content"][0]["video"] = "/nonexistent/missing.mp4"
+    mixed = str(tmp_path / "cycle.jsonl")
+    with open(mixed, "w") as f:
+        for i in range(7):
+            f.write((_json.dumps(broken) + "\n") if i in (1, 6) else good)
+    vid_cfg = VideoConfig(fps=2.0, video_min_pixels=28 * 28, video_max_pixels=16 * 28 * 28)
+    ds = StreamDataset([mixed], cfg=CFG, encode=FakeTokenizer(TOK), video=vid_cfg)
+    assert len(ds) == 7
+    ex = ds[1]  # 1 -> 6 -> (cycle back to 1: step past) -> 2 (healthy)
+    assert ex.input_ids.shape[0] > 0
+
+    # all-broken: the chain must cover all n distinct indices, then raise
+    tried = []
+    orig = ds.getitem
+
+    def failing(i):
+        tried.append(i)
+        raise ValueError("injected")
+
+    ds.getitem = failing
+    with pytest.raises(RuntimeError, match="every resample failed"):
+        StreamDataset.__getitem__(ds, 1)
+    ds.getitem = orig
+    assert sorted(tried) == list(range(7)), tried
