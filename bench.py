@@ -434,10 +434,23 @@ def run_multistream(args):
 
         t_start = time.perf_counter()
         handles = ms.process_round_async(segs_all, vis_embeds=ve, grid_thw=grid)
+        t_disp = time.perf_counter()
         if i + 1 < n_rounds:
             ve = ms.encode_round(synth_patches(jax.random.PRNGKey(1000 + i + 1)), grid)
+        t_enc = time.perf_counter()
         outs = ms.finish_round(handles)
-        dt = time.perf_counter() - t_start
+        t_fin = time.perf_counter()
+        dt = t_fin - t_start
+        if i < 2 or os.environ.get("SVT_BENCH_PHASES"):
+            # phase split (host prep+dispatch | encode dispatch | device
+            # wait): distinguishes a round-0 HOST spike (prep/tokenize/
+            # first-transfer handshakes) from a device-queue/compile one
+            print(
+                f"[round {i:02d} phases] dispatch={1e3*(t_disp-t_start):7.1f}"
+                f"  encode={1e3*(t_enc-t_disp):7.1f}"
+                f"  finish={1e3*(t_fin-t_enc):7.1f} ms",
+                file=sys.stderr, flush=True,
+            )
         ms.commit_assistant([g for g, _ in outs], end_bias, i)
         times.append(dt)
         print(
