@@ -1120,7 +1120,12 @@ class StreamingEngine:
             # it) — it was the chunk-0 latency spike (2.5x p50) that full
             # executable prewarm could not remove. An int32 host array makes
             # this a plain device_put.
-            (slots,) = np.nonzero(chunk_ids == tkn.video_pad)
+            # Slots come from SEGMENT provenance, not raw id matching: the
+            # re-prefilled tail holds generated tokens, and a sampled token
+            # equal to video_pad must not claim an embed row (the chunk spans
+            # table[cached:], so the mask suffix lines up with chunk_ids;
+            # recompute mode has cached=0 and re-embeds every survivor).
+            (slots,) = np.nonzero(self.table.vision_mask()[self.cached :])
             slots = slots.astype(np.int32)
             vis_slots = jnp.asarray(slots) if device_arrays else slots
 
@@ -1300,12 +1305,16 @@ class StreamingEngine:
             jax.block_until_ready(self.k_arena)
             prep["gen_cm"].__exit__(None, None, None)
 
-        self.cached += prep["n_real"] + n_delta_cur
+        # match finish_chunk / the reference: the FINAL sampled token of a
+        # chunk is never committed — its KV re-prefills post-eviction with the
+        # next chunk (keeps spec decode bitwise-equal to the AR path)
+        n_commit = min(n_delta_cur, max(len(emitted_all) - 1, 0))
+        self.cached += prep["n_real"] + n_commit
         if st.pos_mode == "append":
             self._next_pos = prep["next_p"] + len(emitted_all)
         gen_real = np.asarray(emitted_all, np.int32)
-        self.uncached_tail = len(emitted_all) - n_delta_cur
-        assert self.uncached_tail in (0, 1), self.uncached_tail
+        self.uncached_tail = len(emitted_all) - n_commit
+        assert self.uncached_tail in (0, 1, 2), self.uncached_tail
         if len(gen_real) == 0 or gen_real[-1] != eos:
             gen_real = np.concatenate([gen_real, [eos]]).astype(np.int32)
             self.uncached_tail += 1
@@ -1325,16 +1334,26 @@ class StreamingEngine:
         n_gen = int(handle.n_gen)
         if handle.gen_cm is not None:
             handle.gen_cm.__exit__(None, None, None)
-        self.cached += handle.n_real + n_gen
+        # Reference semantics (found by tests/test_reference_differential.py):
+        # HF's _sample exits right after sampling, so the FINAL sampled token
+        # of a chunk is never forwarded during that chunk — the reference
+        # re-prefills it with the next chunk, i.e. its KV is computed under
+        # the POST-eviction context (inference.py:309-455 + generate loop).
+        # The in-scan KV written for it at slot cached+n_gen-1 is therefore
+        # stale by protocol; leaving it un-committed makes the next chunk's
+        # prefill overwrite that slot with the post-eviction KV.
+        n_commit = max(n_gen - 1, 0)
+        self.cached += handle.n_real + n_commit
         if self.stream.pos_mode == "append":
             self._next_pos = handle.next_p + n_gen
         gen_real = gen[:n_gen]
         eos = handle.eos
+        self.uncached_tail = n_gen - n_commit
         # force-close like the reference (inference.py:456-459); the forced
         # token has no KV yet -> re-forwarded with the next chunk
         if n_gen == 0 or gen_real[-1] != eos:
             gen_real = np.concatenate([gen_real, [eos]]).astype(np.int32)
-            self.uncached_tail = 1
+            self.uncached_tail += 1
         self.chunk_index += 1
         return gen_real, len(gen_real)
 

@@ -96,6 +96,23 @@ class SegmentTable:
             return np.zeros(0, np.int32)
         return np.concatenate([s.ids for s in self.segs]).astype(np.int32)
 
+    def vision_mask(self) -> np.ndarray:
+        """Boolean mask over all tokens: True for tokens of VISION segments.
+
+        Used instead of raw `ids == video_pad` matching when locating the
+        chunk's vision-embed scatter slots: the re-prefilled uncached tail
+        contains GENERATED tokens, and a sampled token that happens to be the
+        video_pad id must not claim an embed row. (The reference raw-matches
+        and raises a count mismatch in that case — model_forward.py:81-93;
+        segment provenance makes the degenerate case well-defined.)"""
+        out = np.zeros(self.total_len(), bool)
+        off = 0
+        for s in self.segs:
+            if s.kind == VISION:
+                out[off : off + len(s)] = True
+            off += len(s)
+        return out
+
     def append(self, seg: Seg) -> None:
         if len(seg):
             self.segs.append(seg)

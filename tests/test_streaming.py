@@ -220,20 +220,26 @@ class Oracle:
             self._uncached = 0
         logits = self._forward(prompt_ids, pixels)
         out = []
-        for _ in range(max_new):
+        for j in range(max_new):
             presence = np.zeros(CFG.text.vocab_size, bool)
             presence[self.ids] = True
             scores = np.where(logits > 0, logits / rep_pen, logits * rep_pen)
             scores = np.where(presence, scores, logits)
             tok = int(np.argmax(scores))
             out.append(tok)
-            logits = self._forward(np.array([tok], np.int32), None)
-            if tok == TOK.im_end:
+            if tok == TOK.im_end or j == max_new - 1:
+                # reference semantics: HF's _sample exits right after sampling,
+                # so the FINAL token of a chunk (natural eos or the max_new-th)
+                # is never forwarded this chunk — it re-prefills with the next
+                # chunk under the POST-eviction context
+                self.ids = np.concatenate([self.ids, [tok]]).astype(np.int32)
+                self._uncached += 1
                 break
+            logits = self._forward(np.array([tok], np.int32), None)
         if out[-1] != TOK.im_end:
             out.append(TOK.im_end)
             self.ids = np.concatenate([self.ids, [TOK.im_end]]).astype(np.int32)
-            self._uncached = 1
+            self._uncached += 1
         return np.array(out, np.int32)
 
 
