@@ -19,6 +19,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seq", type=int, default=8192)
     p.add_argument("--steps", type=int, default=6)
+    p.add_argument("--remat", default="full", choices=["none", "full", "dots"])
     p.add_argument("--out", default="TRAIN_TPU.json")
     args = p.parse_args()
 
@@ -35,7 +36,9 @@ def main():
     params = model.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     optimizer = make_optimizer(learning_rate=1e-5)
     opt_state = optimizer.init(params["text"])
-    step = jax.jit(make_train_step(cfg, optimizer), donate_argnums=(0, 1))
+    step = jax.jit(
+        make_train_step(cfg, optimizer, remat=args.remat), donate_argnums=(0, 1)
+    )
 
     T = args.seq
     rng = np.random.default_rng(0)
@@ -63,7 +66,9 @@ def main():
     med = float(np.median(steady))
     rec = {
         "hardware": "v5e-1 (axon tunnel)",
-        "model": "qwen2_5_vl_3b text (bf16, frozen ViT path, chunked+remat CE)",
+        "model": "qwen2_5_vl_3b text (bf16, frozen ViT path, fused linear-CE)",
+        "remat": args.remat,
+        "fused_ce_chunk": int(os.environ.get("FUSED_CE_CHUNK", "2048")),
         "seq_len": T,
         "step_ms_p50": round(med * 1000, 1),
         "tokens_per_sec": round(T / med, 1),

@@ -21,6 +21,15 @@ def main():
     p.add_argument("--modes", default="abcd")
     p.add_argument("--out", default="EFFICIENCY_TPU.json")
     p.add_argument("--quantize", default="int8", choices=["int8", "none"])
+    p.add_argument("--kv-capacity", type=int, default=None,
+                   help="explicit arena capacity override: kv_capacity_for "
+                        "sizes for 560 tok/chunk worst case; real grids can "
+                        "be far smaller, and config (a) at long horizons "
+                        "must not allocate a 30 GB bf16 arena")
+    p.add_argument("--buckets", default=None,
+                   help="comma-separated prefill buckets override (fault "
+                        "playbook: a different bucket is a different "
+                        "executable when the tunnel fault pins itself)")
     args = p.parse_args()
 
     import numpy as np
@@ -42,15 +51,25 @@ def main():
         params = quantize_model_params(params, donate=True)
     params = jax.tree.map(jax.block_until_ready, params)
 
-    vid = "/tmp/efficiency_clip.mp4"
     n_frames = int((args.duration + 4) * 10)
+    # bench operating-point geometry: 896x448 -> grid (1,32,64) = 512 vision
+    # tokens/chunk (~533 with text), the reference's own chunk size class
+    vid = f"/tmp/efficiency_clip_896x448_{n_frames}.mp4"
     ingest.build_native()
     if not os.path.exists(vid):
-        ingest.write_test_video(vid, w=448, h=224, n_frames=n_frames, fps=10)
+        ingest.write_test_video(vid, w=896, h=448, n_frames=n_frames, fps=10)
 
     summaries = {}
     for mode in args.modes:
         print(f"=== config ({mode}) ===", file=sys.stderr, flush=True)
+        overrides = {}
+        if args.buckets:
+            overrides["prefill_buckets"] = tuple(
+                int(x) for x in args.buckets.split(",")
+            )
+        if args.kv_capacity:
+            overrides["kv_capacity"] = args.kv_capacity
+        overrides = overrides or None
         rep = run_efficiency(
             cfg=cfg,
             params=params,
@@ -60,6 +79,7 @@ def main():
             duration=args.duration,
             output_dir="/tmp/efficiency_out",
             dtype=jnp.bfloat16,
+            stream_overrides=overrides,
         )
         per = rep["per_chunk"]
         times = [c["gen_time_sec"] for c in per]
