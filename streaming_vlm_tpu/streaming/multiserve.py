@@ -45,6 +45,18 @@ __all__ = ["MultiStreamServer", "StreamClient"]
 _FAILED = object()
 
 
+def _is_device_fault(exc: BaseException) -> bool:
+    """Recoverable device-runtime faults, as opposed to logic errors (which
+    must fail-stop: replaying a logic error would just re-raise it). The
+    axon/XLA runtime surfaces tunnel faults as XlaRuntimeError with a gRPC
+    status keyword; tests inject a RuntimeError carrying the same keyword."""
+    if type(exc).__name__ == "XlaRuntimeError":
+        return True
+    return isinstance(exc, RuntimeError) and any(
+        k in str(exc) for k in ("UNAVAILABLE", "INTERNAL", "DATA_LOSS")
+    )
+
+
 class _ClientError:
     """One rejected chunk, delivered through the owning client's result
     queue: get() raises the wrapped error ONCE and the client stays usable
@@ -71,6 +83,11 @@ class StreamClient:
         self._parked: Optional[Dict[str, Any]] = None  # host snapshot
         self._seed: Optional[int] = None  # sampling seed until first placement
         self._last_round = -1  # LRU clock for eviction choice
+        # auto-recovery state (server.auto_recover): host snapshot at the
+        # last checkpointed chunk boundary + the admitted work since it —
+        # restore + deterministic replay reconstructs the lane bitwise
+        self._recovery_snapshot: Optional[Dict[str, Any]] = None
+        self._journal: List[Dict[str, Any]] = []
 
     def submit(
         self,
@@ -228,6 +245,9 @@ class MultiStreamServer:
         *,
         end_bias: int = 2,
         max_clients: Optional[int] = None,
+        engine_factory=None,
+        snapshot_every: int = 16,
+        max_recoveries: int = 3,
     ):
         """`max_clients` > engine.n enables OVERSUBSCRIPTION: clients beyond
         the device lane count are parked as host snapshots (streaming/
@@ -236,8 +256,29 @@ class MultiStreamServer:
         evicting the least-recently-active idle resident. Steady state with
         <= n concurrently-chatty clients never swaps; each swap costs one
         lane-KV device->host + host->device copy. Default (None) keeps the
-        strict behavior: at most engine.n clients, attach raises beyond."""
+        strict behavior: at most engine.n clients, attach raises beyond.
+
+        `engine_factory` (a zero-arg callable returning a compatible
+        MultiStreamEngine) enables AUTOMATIC FAULT RECOVERY: on a device-
+        runtime fault mid-round (the documented tunnel/XLA fault class —
+        _is_device_fault) the server discards the engine, builds a fresh one
+        (the factory may rotate prefill buckets per the fault playbook),
+        restores every resident lane from its periodic host snapshot (taken
+        every `snapshot_every` delivered chunks) and REPLAYS the journaled
+        chunks since — deterministic, so the reconstructed state is bitwise
+        the pre-fault state (solo==lane and idle-freeze equivalences,
+        tests/test_multistream.py). Chunks in flight at the fault that were
+        not yet delivered are re-queued at the front, so NO submitted chunk
+        is lost. After `max_recoveries` faults the server fail-stops as
+        before. Non-fault exceptions always fail-stop (replaying a logic
+        error would just re-raise it)."""
         self.engine = engine
+        self.engine_factory = engine_factory
+        self.auto_recover = engine_factory is not None
+        self.snapshot_every = snapshot_every
+        self.max_recoveries = max_recoveries
+        self.recoveries = 0  # successful recoveries (observability/tests)
+        self._inflight: Optional[List[List[Any]]] = None  # [client, work, delivered]
         self.end_bias = end_bias
         self.max_clients = engine.n if max_clients is None else max_clients
         self._lanes: List[Optional[StreamClient]] = [None] * engine.n
@@ -330,9 +371,16 @@ class MultiStreamServer:
         lock and guarantees the lane is free)."""
         if client._parked is not None:
             self.engine.restore_lane(lane, client._parked)
+            if self.auto_recover:
+                # the parking snapshot IS the current state — journal empty
+                client._recovery_snapshot = client._parked
+                client._journal.clear()
             client._parked = None
         else:
             self.engine.reset_lane(lane, seed=client._seed)
+            if self.auto_recover:
+                client._recovery_snapshot = self.engine.snapshot_lane(lane)
+                client._journal.clear()
         client.lane = lane
         self._lanes[lane] = client
 
@@ -341,6 +389,9 @@ class MultiStreamServer:
         Always at a chunk boundary: rounds end with commit_assistant, and
         eviction happens only between rounds."""
         client._parked = self.engine.snapshot_lane(client.lane)
+        if self.auto_recover:
+            client._recovery_snapshot = client._parked
+            client._journal.clear()
         self._lanes[client.lane] = None
         client.lane = None
         self.swaps += 1
@@ -378,6 +429,8 @@ class MultiStreamServer:
                 # handle; the lane map below is what frees the lane
                 self._lanes[client.lane] = None
             client._parked = None
+            client._recovery_snapshot = None
+            client._journal.clear()
             if client in self._all:
                 self._all.remove(client)
 
@@ -513,6 +566,20 @@ class MultiStreamServer:
             try:
                 return self._round_locked()
             except BaseException as exc:
+                if (
+                    self.auto_recover
+                    and _is_device_fault(exc)
+                    and self.recoveries < self.max_recoveries
+                ):
+                    try:
+                        self._recover()
+                    except BaseException as rexc:
+                        rexc.__cause__ = exc
+                        self._fail(rexc)
+                        raise
+                    self.recoveries += 1
+                    # re-queued chunks run on the next round
+                    return 0
                 self._fail(exc)
                 raise
 
@@ -578,6 +645,11 @@ class MultiStreamServer:
             return 0
         clients: List[Optional[StreamClient]] = list(self._lanes)
         n_active = len(admitted)
+        # recovery bookkeeping: everything admitted into this round, with a
+        # delivered flag — on a device fault, delivered chunks replay from
+        # the journal, undelivered ones re-queue (nothing is lost)
+        self._inflight = [[c, work[c.lane], False] for c in admitted]
+        by_lane = {entry[0].lane: entry for entry in self._inflight}
 
         # per-lane grids: clients stream at whatever resolution they like;
         # each lane's chunk encodes through its own single-grid tower
@@ -608,7 +680,86 @@ class MultiStreamServer:
             )
             c._results.put((c.chunk_index, np.asarray(gen)))
             c.chunk_index += 1
+            if b in by_lane:
+                by_lane[b][2] = True  # delivered — replays via the journal
+        if self.auto_recover:
+            # journal BEFORE clearing _inflight, so a fault inside the
+            # snapshot refresh below cannot double-journal delivered work
+            for c, w, delivered in self._inflight:
+                if delivered:
+                    c._journal.append(w)
+            self._inflight = None
+            for c in admitted:
+                if len(c._journal) >= self.snapshot_every:
+                    c._recovery_snapshot = self.engine.snapshot_lane(c.lane)
+                    c._journal.clear()
+        else:
+            self._inflight = None
         return n_active
+
+    # ------------------------------------------------------------ recovery
+    def _recover(self) -> None:
+        """Rebuild the engine after a device fault and reconstruct every
+        lane bitwise (caller holds the lock). Undelivered in-flight chunks
+        re-queue at the FRONT of their clients' queues; delivered ones are
+        already in the journal and replay into state. Deterministic replay
+        (sampling rng rides the snapshot) makes the reconstruction exact —
+        the same solo==lane / idle-freeze equivalences the snapshot tests
+        assert."""
+        inflight = self._inflight or []
+        self._inflight = None
+        for c, w, delivered in inflight:
+            if delivered:
+                c._journal.append(w)
+            else:
+                # Queue.queue is a deque; mutation is safe under our lock.
+                # One entry per client per round, so front-insertion keeps
+                # each client's ticket order intact.
+                c._pending.queue.appendleft(w)
+        self.engine = self.engine_factory()
+        assert self.engine.n == len(self._lanes), (
+            "engine_factory must preserve the lane count"
+        )
+        for c in self._all:
+            if c.lane is None:
+                continue  # parked — state already lives as a host snapshot
+            assert c._recovery_snapshot is not None
+            self.engine.restore_lane(c.lane, c._recovery_snapshot)
+            for j, w in enumerate(c._journal):
+                self._replay_one(c, c.chunk_index - len(c._journal) + j, w)
+            # checkpoint the reconstructed state: a second fault replays
+            # nothing
+            c._recovery_snapshot = self.engine.snapshot_lane(c.lane)
+            c._journal.clear()
+
+    def _replay_one(self, client: StreamClient, rnd: int, w: Dict[str, Any]) -> None:
+        """Re-run one journaled chunk for one lane (others idle). The idle
+        riders are either still-reset lanes (harmless free-run) or already-
+        restored ones, whose only state change — the uncached tail becoming
+        cached post-evict — is exactly what their next real chunk would do
+        (the tested idle-freeze bitwise property)."""
+        n = self.engine.n
+        segs: List[Optional[Any]] = [None] * n
+        grids: List[Optional[Any]] = [None] * n
+        patches: List[Optional[Any]] = [None] * n
+        budgets: List[Optional[Any]] = [None] * n
+        b = client.lane
+        segs[b], grids[b], patches[b] = w["segs"], w["grid"], w["patches"]
+        budgets[b] = w.get("max_new")
+        self.engine.evict_round()
+        ve = (
+            self.engine.encode_round_mixed(patches, grids)
+            if patches[b] is not None
+            else None
+        )
+        outs = self.engine.process_round(
+            segs,
+            vis_embeds=ve,
+            grid_thw=grids if grids[b] is not None else None,
+            max_new=budgets if budgets[b] is not None else None,
+        )
+        gen, _n = outs[b]
+        self.engine.engines[b].commit_assistant(gen, self.end_bias, rnd)
 
     # ------------------------------------------------------------ background
     def start(self, poll_s: float = 0.002) -> None:

@@ -810,3 +810,110 @@ def test_admission_sees_post_evict_occupancy(params):
         assert idx == i
         np.testing.assert_array_equal(solo[i], gen, err_msg=f"chunk {i}")
     assert srv.error is None
+
+
+def _make_recovering_server(params, *, snapshot_every=2, max_recoveries=3):
+    def factory():
+        return MultiStreamEngine(
+            CFG, params, _stream_cfg(), _greedy(), n_streams=2, dtype=jnp.float32
+        )
+
+    return MultiStreamServer(
+        factory(),
+        end_bias=END_BIAS,
+        engine_factory=factory,
+        snapshot_every=snapshot_every,
+        max_recoveries=max_recoveries,
+    )
+
+
+def _inject_fault_once(srv, msg="UNAVAILABLE: injected device fault (test)"):
+    """Arm the CURRENT engine so its next process_round raises a device
+    fault (instance attribute — the rebuilt engine is unaffected)."""
+
+    def boom(*a, **k):
+        raise RuntimeError(msg)
+
+    srv.engine.process_round = boom
+
+
+def test_auto_recovery_injected_fault(params):
+    """VERDICT r3 next #2b: a device fault mid-round on an auto_recover
+    server rebuilds the engine, restores every lane from its periodic
+    snapshot, replays the journal, re-queues the in-flight chunks — and no
+    client loses a token: the full 5-chunk output streams equal the
+    no-fault solo runs bitwise."""
+    srv = _make_recovering_server(params, snapshot_every=2)
+    solo_a = _solo_run(params, "narrate the game", 5, seed0=100)
+    solo_b = _solo_run(params, "describe the scene", 5, seed0=500)
+
+    a, b = srv.attach(), srv.attach()
+    ba = PromptBuilder(TOK, FakeTokenizer(TOK))
+    bb = PromptBuilder(TOK, FakeTokenizer(TOK))
+    got_a, got_b = [], []
+    for rnd in range(5):
+        segs, patches = _chunk(ba, rnd, "narrate the game", 100 + rnd)
+        a.submit(segs, pixel_patches=patches, grid_thw=GRID)
+        segs, patches = _chunk(bb, rnd, "describe the scene", 500 + rnd)
+        b.submit(segs, pixel_patches=patches, grid_thw=GRID)
+        if rnd == 3:
+            _inject_fault_once(srv)
+        n = srv.run_round_once()
+        if n == 0:
+            # the fault consumed this round; the chunks were re-queued and
+            # run on a fresh engine
+            assert srv.recoveries == 1
+            n = srv.run_round_once()
+        assert n == 2
+        got_a.append(a.get(timeout=5))
+        got_b.append(b.get(timeout=5))
+
+    assert srv.recoveries == 1
+    assert srv.error is None
+    for i, (idx, gen) in enumerate(got_a):
+        assert idx == i
+        np.testing.assert_array_equal(solo_a[i], gen, err_msg=f"client A chunk {i}")
+    for i, (idx, gen) in enumerate(got_b):
+        assert idx == i
+        np.testing.assert_array_equal(solo_b[i], gen, err_msg=f"client B chunk {i}")
+
+
+def test_auto_recovery_does_not_catch_logic_errors(params):
+    """Non-fault exceptions fail-stop even with auto_recover on: replaying
+    a logic error would just re-raise it."""
+    srv = _make_recovering_server(params)
+    a = srv.attach()
+    segs, patches = _chunk(PromptBuilder(TOK, FakeTokenizer(TOK)), 0, "q", 1)
+    a.submit(segs, pixel_patches=patches, grid_thw=GRID)
+
+    def boom(*a_, **k_):
+        raise ValueError("logic bug, not a device fault")
+
+    srv.engine.process_round = boom
+    with pytest.raises(ValueError):
+        srv.run_round_once()
+    assert srv.error is not None
+    assert srv.recoveries == 0
+    with pytest.raises(RuntimeError):
+        srv.attach()
+
+
+def test_auto_recovery_respects_max_recoveries(params):
+    """After max_recoveries faults the server fail-stops like before."""
+    srv = _make_recovering_server(params, max_recoveries=1)
+    a = srv.attach()
+    builder = PromptBuilder(TOK, FakeTokenizer(TOK))
+    segs, patches = _chunk(builder, 0, "q", 1)
+    a.submit(segs, pixel_patches=patches, grid_thw=GRID)
+    _inject_fault_once(srv)
+    assert srv.run_round_once() == 0  # first fault: recovered
+    assert srv.recoveries == 1
+    assert srv.run_round_once() == 1  # re-queued chunk runs
+    a.get(timeout=5)
+
+    segs, patches = _chunk(builder, 1, "q", 2)
+    a.submit(segs, pixel_patches=patches, grid_thw=GRID)
+    _inject_fault_once(srv)
+    with pytest.raises(RuntimeError):
+        srv.run_round_once()  # budget exhausted -> fail-stop
+    assert srv.error is not None
