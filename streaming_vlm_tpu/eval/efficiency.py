@@ -113,7 +113,10 @@ def run_efficiency(
 
     records = []
     for i, sec in enumerate(timings):
-        gen_t = float(sec.get("GEN", 0.0))
+        # serve records the chunk's full loop wall time as gen_time_sec
+        # (serve.py:501) — the GEN section alone undercounts pipelined runs
+        # where the device wait lands at the handle fetch
+        gen_t = float(sec.get("gen_time_sec", sec.get("GEN", 0.0)))
         dec = int(sec.get("decoded_tokens", 0))
         records.append(
             {
