@@ -20,6 +20,14 @@ def main():
     p.add_argument("--seq", type=int, default=8192)
     p.add_argument("--steps", type=int, default=6)
     p.add_argument("--remat", default="full", choices=["none", "full", "dots"])
+    p.add_argument("--opt", default="adamw", choices=["adamw", "none"],
+                   help="none: fwd+bwd only (value_and_grad + grad norm). "
+                        "AdamW moments for 3B are ~7.8 GB f32 on top of "
+                        "params+grads (~7.8 GB bf16) — past a single 16 GB "
+                        "chip, which is why the reference shards them with "
+                        "ZeRO-3 over 8 GPUs (scripts/zero3.json); the "
+                        "mesh-sharded equivalent is CPU-mesh-tested in "
+                        "tests/test_mesh.py")
     p.add_argument("--out", default="TRAIN_TPU.json")
     args = p.parse_args()
 
@@ -34,11 +42,35 @@ def main():
 
     cfg = qwen25_vl_3b()
     params = model.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    optimizer = make_optimizer(learning_rate=1e-5)
-    opt_state = optimizer.init(params["text"])
-    step = jax.jit(
-        make_train_step(cfg, optimizer, remat=args.remat), donate_argnums=(0, 1)
-    )
+    if args.opt == "adamw":
+        optimizer = make_optimizer(learning_rate=1e-5)
+        opt_state = optimizer.init(params["text"])
+        step = jax.jit(
+            make_train_step(cfg, optimizer, remat=args.remat), donate_argnums=(0, 1)
+        )
+    else:
+        from streaming_vlm_tpu.train.step import sft_loss
+
+        opt_state = None
+
+        def _grad_step(params, _opt_state, batch):
+            def loss_fn(pt):
+                return sft_loss(
+                    cfg, {**params, "text": pt}, batch, remat=args.remat
+                )
+
+            (loss, count), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params["text"]
+            )
+            import optax as _optax
+
+            return params, None, {
+                "loss": loss,
+                "labeled_tokens": count,
+                "grad_norm": _optax.global_norm(grads),
+            }
+
+        step = jax.jit(_grad_step)
 
     T = args.seq
     rng = np.random.default_rng(0)
@@ -68,6 +100,7 @@ def main():
         "hardware": "v5e-1 (axon tunnel)",
         "model": "qwen2_5_vl_3b text (bf16, frozen ViT path, fused linear-CE)",
         "remat": args.remat,
+        "optimizer": args.opt,
         "fused_ce_chunk": int(os.environ.get("FUSED_CE_CHUNK", "2048")),
         "seq_len": T,
         "step_ms_p50": round(med * 1000, 1),
