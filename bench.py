@@ -613,8 +613,10 @@ def run_ab(args):
         base_cmd += ["--tp", str(args.tp)]
     if args.dp > 1:
         base_cmd += ["--dp", str(args.dp)]
-    if args.streams > 1:
-        base_cmd += ["--streams", str(args.streams)]
+    # ALWAYS forward --streams: the subprocess would otherwise fall back to
+    # the model's multi-stream default (12 lanes for 3b), silently turning
+    # a requested single-stream A/B into a multi-stream one
+    base_cmd += ["--streams", str(args.streams)]
     if args.vision != "frames":
         base_cmd += ["--vision", args.vision]
 

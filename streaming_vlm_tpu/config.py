@@ -269,6 +269,14 @@ class StreamConfig:
     # in the engine dtype (decode reads it every token — int8 reads convert
     # at ~half VMEM efficiency, measured in round 2's weight-only study).
     kv_quant: str = "none"
+    # Decode-attention kernel for the raw-arena (prerotate=False) path:
+    # dequant + mRoPE rotation fused IN-KERNEL (ops/attention.py
+    # streaming_decode_attention_int8) instead of re-materialising a
+    # dequantized+rotated bf16 arena copy every decode step. None = auto
+    # (env SVT_USE_PALLAS_DECODE_INT8, default on for TPU backends);
+    # True/False force it per engine (distinct jit cache entries — env
+    # flips alone would hit a stale trace).
+    decode_int8_kernel: Optional[bool] = None
 
     @property
     def effective_prerotate(self) -> bool:

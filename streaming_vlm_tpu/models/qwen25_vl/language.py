@@ -144,6 +144,62 @@ def _gqa_attention(q, k, v, mask):
     return _gqa_attention_multi(q, [(k, v, mask)])
 
 
+def _gqa_attention_chunked(
+    q: jnp.ndarray,  # [T, H, hd] (rotated)
+    k: jnp.ndarray,  # [S, Hkv, hd] (rotated)
+    v: jnp.ndarray,  # [S, Hkv, hd]
+    mask: jnp.ndarray,  # [T, S] bool
+    *,
+    q_block: int,
+) -> jnp.ndarray:
+    """Block-recomputed (Rabe-Staats) GQA attention for TRAINING.
+
+    The naive path materialises [Hkv, G, T, S] f32 logits — 4.3 GB per layer
+    at T=8192 for the 3B geometry — and its BACKWARD keeps them live, which
+    is what capped single-chip fwd+bwd at T=1024 (BENCH_TRAIN_r04.json).
+    Here queries run in blocks of `q_block` under a lax.scan; each block's
+    [Hkv, G, q_block, S] logits are a transient, and `jax.checkpoint` on the
+    block body makes the backward RECOMPUTE them instead of saving them:
+    peak memory drops from O(T*S) to O(q_block*S) in both passes at the cost
+    of one extra attention-forward in backward (the standard memory-efficient
+    attention trade — arXiv:2112.05682). Composes with the layer-level remat
+    in language_forward (nested checkpoint) and with FSDP/PP/SP.
+
+    Per-row math is IDENTICAL to _gqa_attention_multi with one source (same
+    max-subtract softmax, same dtype chain), so the tolerance story of every
+    parity test carries over. This plays the role flash-attn's training
+    kernels play in the reference (language_forward.py:242-252,
+    monkeypatch.py flash-attn path) for the offline/SFT stack."""
+    T, H, hd = q.shape
+    S, Hkv, _ = k.shape
+    G = H // Hkv
+    scale = 1.0 / np.sqrt(hd)
+    pad = (-T) % q_block
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad), (0, 0)))  # padded rows fully masked
+    nb = (T + pad) // q_block
+    qb = q.reshape(nb, q_block, Hkv, G, hd)
+    maskb = mask.reshape(nb, q_block, S)
+
+    @jax.checkpoint
+    def block(qi, mi):
+        lg = jnp.einsum(
+            "tkgd,skd->kgts", qi, k, preferred_element_type=jnp.float32
+        )
+        lg = jnp.where(mi[None, None, :, :], lg * scale, NEG_INF)
+        m = lg.max(axis=-1, keepdims=True)
+        e = jnp.exp(lg - m)
+        denom = e.sum(axis=-1, keepdims=True)
+        o = jnp.einsum("kgts,skd->tkgd", e.astype(v.dtype), v)
+        inv = (1.0 / denom).astype(o.dtype)  # [Hkv, G, q_block, 1]
+        return o * inv.transpose(2, 0, 1, 3)
+
+    _, outs = jax.lax.scan(lambda c, xs: (c, block(*xs)), None, (qb, maskb))
+    out = outs.reshape((T + pad), H * hd)
+    return out[:T] if pad else out
+
+
 def _decode_attention_merge(
     q: jnp.ndarray,  # [1, H, hd] rotated (unscaled)
     small_parts,  # list of (k [S, Hkv, hd] rotated, v, mask [1, S]) — tiny
@@ -208,6 +264,12 @@ def _layer_body(
     arena_kernel=None,  # (ak, av, visible_len, extra_visible, c_b, interpret):
     # route the
     # FIRST context source through the pallas decode kernel (T=1 only)
+    arena_kernel_q8=None,  # (akq, aks, avq, avs, pos_t, vis, evis, c_b,
+    # interpret, mrope_section, rope_theta): route the FIRST context source
+    # through the int8-native raw-arena decode kernel (dequant + mRoPE
+    # rotation in-kernel; T=1, arena NOT pre-rotated)
+    self_q_block: int = 0,  # >0: block-recomputed self attention (training
+    # path, context must be empty) — never materialises [T, T] logits
 ):
     """One decoder layer: attention over read-only context KV sources plus the
     block's own (new) K/V. Returns (hidden, k_new, k_new_rot, v_new). Context
@@ -237,7 +299,30 @@ def _layer_body(
     k_new_rot = apply_rope(k_new, q_cos[:, None, :], q_sin[:, None, :])
     parts.append((k_new_rot, v_new, self_mask))
 
-    if arena_kernel is not None:
+    if arena_kernel_q8 is not None:
+        # raw (un-rotated, possibly int8) arena read in storage form; ONE
+        # pallas call dequantizes + rotates in VMEM and runs the whole joint
+        # softmax over arena + delta + self (the decode-traffic fix for
+        # prerotate=False serving — PROFILE_7B_B8_r04)
+        (akq, aks, avq, avs, pos_t, vis, evis, c_b, interpret, sec, theta) = (
+            arena_kernel_q8
+        )
+        from ...ops.attention import streaming_decode_attention_int8
+
+        ek = parts[0][0]
+        ks_small = jnp.concatenate([ek, k_new_rot], axis=0)
+        vs_small = jnp.concatenate([parts[0][1], v_new], axis=0)
+        out = streaming_decode_attention_int8(
+            q[0], akq, aks, avq, avs, pos_t, ks_small, vs_small, vis, evis,
+            e_delta=ek.shape[0], mrope_section=sec, rope_theta=theta,
+            c_b=c_b, interpret=interpret,
+        )
+        attn = out.reshape(1, H * hd).astype(v_new.dtype)
+    elif self_q_block and not context:
+        attn = _gqa_attention_chunked(
+            q, k_new_rot, v_new, self_mask, q_block=self_q_block
+        )
+    elif arena_kernel is not None:
         # `context` held only the small (delta) source; ONE pallas call does
         # the whole joint softmax over arena + delta + self (v2 — the
         # partial-kernel + jnp-merge v1 lost its win to merge overhead)
@@ -267,6 +352,9 @@ def language_forward(
     positions: jnp.ndarray,  # [3, T] float32
     attn_mask: Optional[jnp.ndarray] = None,  # [T, T] bool; default causal
     remat: str = "none",  # {"none", "full", "dots"} activation checkpointing
+    attn_q_block: Optional[int] = None,  # block-recomputed attention:
+    # None = auto (on at T >= 2048, q_block 512), 0 = off (naive [T, T]
+    # logits), >0 = force that block size (tests)
 ) -> jnp.ndarray:
     """Offline / training decoder stack: plain causal self-attention.
     Returns hidden [T, D] post-final-norm.
@@ -284,10 +372,16 @@ def language_forward(
     q_cos, q_sin = mrope_cos_sin(positions, inv_freq, cfg.mrope_section)
     if attn_mask is None:
         attn_mask = jnp.tril(jnp.ones((T, T), bool))
+    if attn_q_block is None:
+        # auto: past T=2048 the naive [Hkv, G, T, T] f32 logits (and their
+        # saved copy in backward) dominate memory — switch to the
+        # block-recomputed form (see _gqa_attention_chunked)
+        attn_q_block = 512 if T >= 2048 else 0
 
     def scan_fn(hidden, lp):
         hidden, _, _, _ = _layer_body(
-            cfg, hidden, lp, q_cos=q_cos, q_sin=q_sin, self_mask=attn_mask, context=[]
+            cfg, hidden, lp, q_cos=q_cos, q_sin=q_sin, self_mask=attn_mask,
+            context=[], self_q_block=attn_q_block,
         )
         return hidden, None
 
@@ -319,6 +413,9 @@ def language_forward_streaming(
     extra_rotated: bool = False,  # extra K already rotated
     self_mask: Optional[jnp.ndarray] = None,  # [T, T]; default causal
     use_pallas: Optional[bool] = None,  # None = auto (TPU backend, prefill only)
+    use_decode_int8: Optional[bool] = None,  # raw-arena decode kernel:
+    # None = auto (env SVT_USE_PALLAS_DECODE_INT8, TPU backends only),
+    # True = force (interpret mode off-TPU), False = off
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Streaming decoder stack over a read-only KV arena (+ optional small
     read-only `extra` block, e.g. the decode delta). The arena is NEVER
@@ -445,21 +542,62 @@ def language_forward_streaming(
             and extra_rotated
             and C % 1024 == 0
         )
+        # int8-native raw-arena decode kernel (dequant + mRoPE rotation
+        # IN-KERNEL from per-slot positions): default ON for the
+        # prerotate=False decode path, where the jnp route re-materialises a
+        # dequantized+rotated bf16 arena copy EVERY step (3-4x necessary
+        # HBM traffic — PROFILE_7B_B8_r04, the 7B B=8 realtime blocker).
+        # SVT_USE_PALLAS_DECODE_INT8=0 disables; =force enables off-TPU
+        # (interpret mode — CPU equivalence tests).
+        q8_env = os.environ.get("SVT_USE_PALLAS_DECODE_INT8", "1")
+        q8_cb = int(os.environ.get("SVT_DECODE_INT8_CB", "1024"))
+        if C % q8_cb:
+            q8_cb = 512
+        if use_decode_int8 is None:
+            q8_enabled = q8_env != "0" and (
+                jax.default_backend() in ("tpu", "axon") or q8_env == "force"
+            )
+        else:
+            q8_enabled = use_decode_int8
+        use_decode_kernel_q8 = (
+            q8_enabled
+            and not use_decode_kernel
+            and T == 1
+            and not arena_rotated
+            and extra_rotated
+            and not custom_self_mask
+            and C % q8_cb == 0
+        )
         dec_cb = 2048 if C % 2048 == 0 else 1024
         dec_interp = jax.default_backend() not in ("tpu", "axon")
+        if use_decode_kernel_q8:
+            pos_t = arena_positions.astype(jnp.float32).T  # [C, 3], tiny
 
         def scan_fn(hidden, xs):
             lp, ak, av, ek, ev = xs
-            ak, av = _deq_layer(ak, cdt), _deq_layer(av, cdt)
-            if use_decode_kernel:
+            ak_kernel = ak_kernel_q8 = None
+            if use_decode_kernel_q8:
+                from ...ops.quant import is_kv_quantized
+
+                if is_kv_quantized(ak):
+                    akq, aks, avq, avs = ak["q"], ak["s"], av["q"], av["s"]
+                else:
+                    akq, aks, avq, avs = ak, None, av, None
+                ctx = [(ek, ev, e_cos, e_sin, extra_mask)]
+                ak_kernel_q8 = (
+                    akq, aks, avq, avs, pos_t, visible_len, extra_visible,
+                    q8_cb, dec_interp, cfg.mrope_section, cfg.rope_theta,
+                )
+            elif use_decode_kernel:
+                ak, av = _deq_layer(ak, cdt), _deq_layer(av, cdt)
                 ctx = [(ek, ev, e_cos, e_sin, extra_mask)]
                 ak_kernel = (ak, av, visible_len, extra_visible, dec_cb, dec_interp)
             else:
+                ak, av = _deq_layer(ak, cdt), _deq_layer(av, cdt)
                 ctx = [(ak, av, a_cos, a_sin, arena_mask), (ek, ev, e_cos, e_sin, extra_mask)]
-                ak_kernel = None
             hidden, kn, knr, vn = _layer_body(
                 cfg, hidden, lp, q_cos=q_cos, q_sin=q_sin, self_mask=self_mask,
-                context=ctx, arena_kernel=ak_kernel,
+                context=ctx, arena_kernel=ak_kernel, arena_kernel_q8=ak_kernel_q8,
             )
             return hidden, (kn, knr, vn)
 

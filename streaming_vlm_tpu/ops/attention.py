@@ -390,6 +390,267 @@ def streaming_decode_attention(
     return m[:, 0], l[:, 0], acc
 
 
+def _decode_int8_kernel(
+    visible_ref,  # [2] int32: [arena visible, delta visible]
+    qp_ref,  # [R, Hkv*hd] block-diagonal Q' (pre-scaled by scale*log2e)
+    kq_ref,  # arena K tile: [c_b, Hkv, hd] int8 (quantized) or float (raw)
+    vq_ref,  # arena V tile, same representation
+    freqs_ref,  # [3, hd//2] f32: inv_freq masked per mrope axis (see wrapper)
+    *refs,  # [ksc, vsc] if quantized, then pos, ks_small, vs_small, out, m, l, acc
+    quantized: bool,
+    n_tiles: int,
+    c_b: int,
+    e1: int,
+    e_delta: int,
+    hkv: int,
+    g: int,
+    hd: int,
+    cdt,  # compute dtype for dequantized K/V (the engine's, e.g. bf16)
+):
+    """Decode attention over the RAW (un-rotated, optionally int8) arena.
+
+    The TPU answer to PROFILE_7B_B8_r04: with prerotate off (HBM-bound
+    multi-stream serving) the jnp path re-materialises a dequantized AND
+    rotated bf16 copy of the whole arena every decode step (3-4x the
+    necessary HBM traffic). Here the arena is read ONCE per step in its
+    storage form (int8 + per-(slot,head) scales); dequantization and mRoPE
+    rotation happen in VMEM. cos/sin are computed on the VPU from per-slot
+    positions ([C, 3] f32, 12 B/slot) instead of shipping [C, hd] cos/sin
+    tables (512 B/slot — as many bytes as K itself). The per-channel
+    frequency masks f0/f1/f2 implement the mrope_section split exactly:
+    ang[c, ch] = pos[c, axis(ch)] * inv_freq[ch] (two terms are zero).
+    Replaces the role of flash-attn decode (language_forward.py:242-252)
+    for the reference's shrink-mode rotate-at-attention-time semantics
+    (language_forward.py:184-197)."""
+    if quantized:
+        ksc_ref, vsc_ref, pos_ref, ksm_ref, vsm_ref, out_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        pos_ref, ksm_ref, vsm_ref, out_ref, m_ref, l_ref, acc_ref = refs
+        ksc_ref = vsc_ref = None
+    ik = pl.program_id(0)
+    R = hkv * g
+    h2 = hd // 2
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    vis = visible_ref[0]
+    evis = visible_ref[1]
+
+    def accumulate(k, v, mask):
+        logits = jax.lax.dot_general(
+            qp_ref[...].astype(k.dtype),
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, rows] log2-space
+        if mask is not None:
+            logits = jnp.where(mask, logits, NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+        p = jnp.exp2(logits - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_ref[:, :1] = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, Hkv*hd]
+        row_head = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) // g
+        own = jnp.zeros((R, hd), jnp.float32)
+        for h in range(hkv):
+            own = own + jnp.where(
+                row_head == h, pv[:, h * hd : (h + 1) * hd], 0.0
+            )
+        acc_ref[:] = acc_ref[:] * alpha + own
+        m_ref[:, :1] = m_new
+
+    def arena_kv():
+        # mRoPE angles from per-slot positions (VPU): the duplicated-half
+        # convention means channel ch and ch+hd/2 share angle ch
+        ang = (
+            pos_ref[:, 0:1] * freqs_ref[0:1, :]
+            + pos_ref[:, 1:2] * freqs_ref[1:2, :]
+            + pos_ref[:, 2:3] * freqs_ref[2:3, :]
+        )  # [c_b, h2] f32
+        cos = jnp.cos(ang)[:, None, :]
+        sin = jnp.sin(ang)[:, None, :]
+        if quantized:
+            # dtype chain matches the jnp path exactly (_deq_layer then
+            # apply_rope): dequant -> cdt, rotate in f32, cast back to cdt
+            kf = (kq_ref[...].astype(jnp.float32) * ksc_ref[...][..., None]).astype(
+                cdt
+            )
+            v = (vq_ref[...].astype(jnp.float32) * vsc_ref[...][..., None]).astype(
+                cdt
+            )
+        else:
+            kf = kq_ref[...]
+            v = vq_ref[...]
+        k1 = kf[:, :, :h2]
+        k2 = kf[:, :, h2:]
+        k = jnp.concatenate(
+            [k1 * cos - k2 * sin, k2 * cos + k1 * sin], axis=-1
+        ).astype(v.dtype)
+        return k.reshape(c_b, hkv * hd), v.reshape(c_b, hkv * hd)
+
+    is_arena = ik < n_tiles
+
+    @pl.when(is_arena & ((ik + 1) * c_b <= vis))
+    def _interior():
+        k, v = arena_kv()
+        accumulate(k, v, None)
+
+    @pl.when(is_arena & ((ik + 1) * c_b > vis) & (ik * c_b < vis))
+    def _boundary():
+        k, v = arena_kv()
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, c_b), 1)
+        accumulate(k, v, (ik * c_b + col) < vis)
+
+    @pl.when(jnp.logical_not(is_arena))
+    def _small():
+        # delta rows [0, e_delta) visible below evis; rows [e_delta, e1) are
+        # the ALWAYS-VISIBLE self block (no-padding contract as in
+        # _decode_full_kernel; asserted in the wrapper)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, e1), 1)
+        mask = (col < evis) | (col >= e_delta)
+        accumulate(
+            ksm_ref[...].reshape(e1, hkv * hd),
+            vsm_ref[...].reshape(e1, hkv * hd),
+            mask,
+        )
+
+    @pl.when(ik == n_tiles)
+    def _finish():
+        denom = jnp.maximum(l_ref[:, :1], 1e-20)
+        out_ref[...] = (acc_ref[:] / denom).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "e_delta", "mrope_section", "rope_theta", "c_b", "interpret"
+    ),
+)
+def streaming_decode_attention_int8(
+    q_rot: jnp.ndarray,  # [H, hd] rotated single-token queries (unscaled)
+    k_q: jnp.ndarray,  # [C, Hkv, hd] RAW (un-rotated) arena K: int8 or float
+    k_s: Optional[jnp.ndarray],  # [C, Hkv] f32 scales, or None (unquantized)
+    v_q: jnp.ndarray,  # [C, Hkv, hd] arena V (int8 or float)
+    v_s: Optional[jnp.ndarray],  # [C, Hkv] f32 scales, or None
+    pos_t: jnp.ndarray,  # [C, 3] f32 per-slot mRoPE positions (transposed)
+    k_small: jnp.ndarray,  # [E1, Hkv, hd] ROTATED delta rows ++ self row(s)
+    v_small: jnp.ndarray,
+    visible_len: jnp.ndarray,  # scalar int32: arena visibility
+    extra_visible: jnp.ndarray,  # scalar int32: visible delta rows
+    *,
+    e_delta: int,  # rows of k_small before the always-visible self block
+    mrope_section: Tuple[int, int, int],
+    rope_theta: float,
+    c_b: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Decode attention of one token over the RAW arena (int8 {q, s} pytree
+    leaves or plain bf16) + decode delta + self, with dequantization and
+    mRoPE rotation fused IN-KERNEL. One joint online softmax; the arena is
+    read once per step in storage form. Returns [H, hd] (v_small dtype)."""
+    H, hd = q_rot.shape
+    C, Hkv, _ = k_q.shape
+    G = H // Hkv
+    assert C % c_b == 0, (C, c_b)
+    n_tiles = C // c_b
+    E1 = k_small.shape[0]
+    assert E1 > e_delta, (E1, e_delta)
+    quantized = k_s is not None
+    assert (v_s is not None) == quantized
+    h2 = hd // 2
+    assert sum(mrope_section) == h2, (mrope_section, hd)
+    # per-channel frequency masks: channel ch belongs to mrope axis a iff
+    # ch is in section a; f_a[ch] = inv_freq[ch] there, else 0 — making
+    # ang = pos0*f0 + pos1*f1 + pos2*f2 EXACT (the two foreign terms are
+    # multiplications by zero)
+    inv_freq = (
+        1.0 / (rope_theta ** (np.arange(0, hd, 2, dtype=np.float32) / hd))
+    ).reshape(1, h2)
+    s0, s1, s2 = mrope_section
+    ch = np.arange(h2).reshape(1, h2)
+    f0 = np.where(ch < s0, inv_freq, 0.0)
+    f1 = np.where((ch >= s0) & (ch < s0 + s1), inv_freq, 0.0)
+    f2 = np.where(ch >= s0 + s1, inv_freq, 0.0)
+    freqs = jnp.asarray(np.concatenate([f0, f1, f2], axis=0), jnp.float32)
+
+    qs = (q_rot.astype(jnp.float32) * (LOG2E / float(np.sqrt(hd)))).reshape(
+        Hkv, G, hd
+    )
+    eye = jnp.eye(Hkv, dtype=qs.dtype)
+    qp = (qs[:, :, None, :] * eye[:, None, :, None]).reshape(H, Hkv * hd)
+
+    def clamp(ik, vis):
+        last_vis = jnp.maximum((vis[0] + c_b - 1) // c_b - 1, 0)
+        return jnp.clip(ik, 0, jnp.minimum(last_vis, n_tiles - 1))
+
+    kernel = functools.partial(
+        _decode_int8_kernel,
+        quantized=quantized,
+        n_tiles=n_tiles,
+        c_b=c_b,
+        e1=E1,
+        e_delta=e_delta,
+        hkv=Hkv,
+        g=G,
+        hd=hd,
+        cdt=v_small.dtype,
+    )
+    in_specs = [
+        pl.BlockSpec((H, Hkv * hd), lambda ik, vis: (0, 0)),
+        pl.BlockSpec((c_b, Hkv, hd), lambda ik, vis: (clamp(ik, vis), 0, 0)),
+        pl.BlockSpec((c_b, Hkv, hd), lambda ik, vis: (clamp(ik, vis), 0, 0)),
+        pl.BlockSpec((3, h2), lambda ik, vis: (0, 0)),
+    ]
+    inputs = [qp, k_q, v_q, freqs]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((c_b, Hkv), lambda ik, vis: (clamp(ik, vis), 0)),
+            pl.BlockSpec((c_b, Hkv), lambda ik, vis: (clamp(ik, vis), 0)),
+        ]
+        inputs += [k_s.astype(jnp.float32), v_s.astype(jnp.float32)]
+    in_specs += [
+        pl.BlockSpec((c_b, 3), lambda ik, vis: (clamp(ik, vis), 0)),
+        pl.BlockSpec((E1, Hkv, hd), lambda ik, vis: (0, 0, 0)),
+        pl.BlockSpec((E1, Hkv, hd), lambda ik, vis: (0, 0, 0)),
+    ]
+    inputs += [pos_t.astype(jnp.float32), k_small, v_small]
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles + 1,),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec((H, hd), lambda ik, vis: (0, 0))],
+            scratch_shapes=[
+                pltpu.VMEM((H, 128), jnp.float32),
+                pltpu.VMEM((H, 128), jnp.float32),
+                pltpu.VMEM((H, hd), jnp.float32),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((H, hd), v_small.dtype)],
+        interpret=interpret,
+    )(
+        jnp.stack(
+            [
+                jnp.asarray(visible_len, jnp.int32),
+                jnp.asarray(extra_visible, jnp.int32),
+            ]
+        ),
+        *inputs,
+    )
+    return out
+
+
 def _flash_kernel(
     # scalar prefetch
     visible_ref,  # [1] int32 — arena slots < visible are attendable

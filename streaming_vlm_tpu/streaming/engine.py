@@ -175,6 +175,9 @@ class ChunkStatics:
     # rotated copy — required when the arena is HBM-budget-bound, e.g. the
     # full-attention ablation whose arena holds the entire stream)
     prerotate: bool = True
+    # raw-arena decode kernel (dequant + mRoPE in-kernel): None = auto
+    # (env SVT_USE_PALLAS_DECODE_INT8), True/False force per engine
+    decode_q8: Optional[bool] = None
 
     # NOTE: the frozen-dataclass __hash__ hashes cfg by VALUE (ModelConfig is a
     # frozen dataclass tree), matching __eq__ — two value-equal statics built
@@ -410,6 +413,7 @@ def _chunk_step_impl(
             extra=(dkr, dv),
             extra_rotated=True,
             extra_visible=step,
+            use_decode_int8=statics.decode_q8,
             **decode_arena,
         )
         dk = jax.lax.dynamic_update_slice(dk, k1.astype(adt), (0, step, 0, 0))
@@ -763,6 +767,7 @@ class StreamingEngine:
                         eos_threshold=eos_threshold,
                         use_descriptors=(st.pos_mode == "shrink"),
                         prerotate=st.effective_prerotate,
+                        decode_q8=st.decode_int8_kernel,
                     )
                     ve = None if n_vis is None else jnp.zeros((n_vis, D), self.dtype)
                     vs = (
@@ -934,6 +939,7 @@ class StreamingEngine:
             eos_threshold=eos_threshold,
             use_descriptors=(st.pos_mode == "shrink"),
             prerotate=st.effective_prerotate,
+            decode_q8=st.decode_int8_kernel,
         )
         self.k_arena, self.v_arena, self.ids_arena, gen, n_gen, self.rng = chunk_step(
             statics,

@@ -556,6 +556,7 @@ class MultiStreamEngine:
             eos_threshold=eos_threshold,
             use_descriptors=(st.pos_mode == "shrink"),
             prerotate=st.effective_prerotate,
+            decode_q8=st.decode_int8_kernel,
         )
         insert_at = np.asarray([e.cached for e in self.engines], np.int32)
         n_real = np.asarray([p["n_real"] for p in preps], np.int32)
@@ -864,6 +865,7 @@ class MultiStreamEngine:
                         eos_threshold=eos_threshold,
                         use_descriptors=(st.pos_mode == "shrink"),
                         prerotate=st.effective_prerotate,
+                        decode_q8=st.decode_int8_kernel,
                     )
                     ve = (
                         None

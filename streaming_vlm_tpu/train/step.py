@@ -152,6 +152,10 @@ def sft_loss(
     batch: Dict[str, jnp.ndarray],
     remat: str = "none",
     grid_thw: Optional[Tuple[int, int, int]] = None,
+    attn_q_block: Optional[int] = None,  # block-recomputed attention
+    # (language.language_forward): None = auto-on at T >= 2048 — the lever
+    # that lifts the reference's long-interleaved-stream training class
+    # (lmm_dataset.py:366-391) past the naive [T, T]-scores memory wall
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """batch: input_ids [B, T], labels [B, T] (-100 masked), positions [B, 3, T],
     optional vis_embeds [B, n_vis, D] (vision already merged — the frozen-ViT
@@ -174,7 +178,8 @@ def sft_loss(
             # slots point out of range and are dropped
             x = x.at[vis_slots].set(vis_embeds.astype(x.dtype), mode="drop")
         hidden = language.language_forward(
-            tcfg, params["text"], x, positions, remat=remat
+            tcfg, params["text"], x, positions, remat=remat,
+            attn_q_block=attn_q_block,
         )
         # next-token shift
         hidden = hidden[:-1]

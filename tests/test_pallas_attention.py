@@ -171,3 +171,180 @@ def test_decode_attention_kernel_matches_jnp(visible):
     np.testing.assert_allclose(
         np.asarray(out2.reshape(1, H * hd)), np.asarray(ref), atol=3e-5, rtol=1e-4
     )
+
+
+@pytest.mark.parametrize("visible", [0, 300, 512])
+@pytest.mark.parametrize("quantized", [True, False])
+def test_decode_int8_kernel_matches_jnp(visible, quantized):
+    """Raw-arena decode kernel (dequant + mRoPE rotation IN-KERNEL from
+    per-slot positions) == dequantize -> rotate -> joint-softmax jnp path,
+    for both the int8 {q, s} arena and the unquantized raw arena."""
+    from streaming_vlm_tpu.models.qwen25_vl.language import _gqa_attention_multi
+    from streaming_vlm_tpu.models.qwen25_vl.rope import (
+        apply_rope, make_inv_freq, mrope_cos_sin,
+    )
+    from streaming_vlm_tpu.ops.attention import streaming_decode_attention_int8
+    from streaming_vlm_tpu.ops.quant import dequantize_kv, quantize_kv
+
+    Hkv, G, hd = 2, 4, 64
+    H = Hkv * G
+    C, E = 512, 24
+    sec, theta = (8, 12, 12), 1e6
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(1, H, hd)), jnp.float32)
+    ak = jnp.asarray(rng.normal(size=(C, Hkv, hd)), jnp.float32)
+    av = jnp.asarray(rng.normal(size=(C, Hkv, hd)), jnp.float32)
+    ek = jnp.asarray(rng.normal(size=(E, Hkv, hd)), jnp.float32)
+    ev = jnp.asarray(rng.normal(size=(E, Hkv, hd)), jnp.float32)
+    ks = jnp.asarray(rng.normal(size=(1, Hkv, hd)), jnp.float32)
+    vs = jnp.asarray(rng.normal(size=(1, Hkv, hd)), jnp.float32)
+    # mRoPE-shaped positions: divergent t/h/w axes (vision) + text runs
+    pos = np.zeros((3, C), np.float32)
+    pos[0] = rng.integers(0, 5000, C)
+    pos[1] = rng.integers(0, 50, C)
+    pos[2] = rng.integers(0, 50, C)
+    pos = jnp.asarray(pos)
+    vis = jnp.asarray(visible, jnp.int32)
+    e_vis = 7
+
+    if quantized:
+        akq, avq = quantize_kv(ak), quantize_kv(av)
+        ak_deq = dequantize_kv(akq, jnp.float32)
+        av_deq = dequantize_kv(avq, jnp.float32)
+        kern_args = (akq["q"], akq["s"], avq["q"], avq["s"])
+    else:
+        ak_deq, av_deq = ak, av
+        kern_args = (ak, None, av, None)
+
+    inv_freq = jnp.asarray(make_inv_freq(hd, theta))
+    a_cos, a_sin = mrope_cos_sin(pos, inv_freq, sec)
+    ak_rot = apply_rope(ak_deq, a_cos[:, None, :], a_sin[:, None, :])
+    arena_mask = jnp.broadcast_to((jnp.arange(C) < vis)[None, :], (1, C))
+    extra_mask = jnp.broadcast_to((jnp.arange(E) < e_vis)[None, :], (1, E))
+    self_mask = jnp.ones((1, 1), bool)
+    ref = _gqa_attention_multi(
+        q, [(ak_rot, av_deq, arena_mask), (ek, ev, extra_mask), (ks, vs, self_mask)]
+    )
+
+    out = streaming_decode_attention_int8(
+        q[0], *kern_args, pos.T,
+        jnp.concatenate([ek, ks], axis=0), jnp.concatenate([ev, vs], axis=0),
+        vis, jnp.asarray(e_vis, jnp.int32),
+        e_delta=E, mrope_section=sec, rope_theta=theta, c_b=128, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.reshape(1, H * hd)), np.asarray(ref), atol=3e-5, rtol=1e-4
+    )
+
+
+def test_decode_int8_kernel_vmap_lanes_match_solo():
+    """vmap over lanes (the batched multi-stream decode path) == per-lane
+    solo kernel calls, bitwise — per-lane visible lengths differ."""
+    from streaming_vlm_tpu.ops.attention import streaming_decode_attention_int8
+    from streaming_vlm_tpu.ops.quant import quantize_kv
+
+    Hkv, G, hd = 2, 4, 64
+    H = Hkv * G
+    C, E = 256, 8
+    sec, theta = (8, 12, 12), 1e6
+    rng = np.random.default_rng(2)
+    B = 3
+    q = jnp.asarray(rng.normal(size=(B, H, hd)), jnp.float32)
+    akq = quantize_kv(jnp.asarray(rng.normal(size=(B, C, Hkv, hd)), jnp.float32))
+    avq = quantize_kv(jnp.asarray(rng.normal(size=(B, C, Hkv, hd)), jnp.float32))
+    pos_t = jnp.asarray(rng.integers(0, 3000, size=(B, C, 3)), jnp.float32)
+    ksm = jnp.asarray(rng.normal(size=(B, E + 1, Hkv, hd)), jnp.float32)
+    vsm = jnp.asarray(rng.normal(size=(B, E + 1, Hkv, hd)), jnp.float32)
+    visB = jnp.asarray([0, 100, 256], jnp.int32)
+    evisB = jnp.asarray([0, 3, 8], jnp.int32)
+
+    def f(qb, kq, ks_, vq, vs_, p, km, vm, vis, evis):
+        return streaming_decode_attention_int8(
+            qb, kq, ks_, vq, vs_, p, km, vm, vis, evis,
+            e_delta=E, mrope_section=sec, rope_theta=theta, c_b=128,
+            interpret=True,
+        )
+
+    outB = jax.vmap(f)(
+        q, akq["q"], akq["s"], avq["q"], avq["s"], pos_t, ksm, vsm, visB, evisB
+    )
+    for b in range(B):
+        solo = f(
+            q[b], akq["q"][b], akq["s"][b], avq["q"][b], avq["s"][b],
+            pos_t[b], ksm[b], vsm[b], visB[b], evisB[b],
+        )
+        np.testing.assert_array_equal(np.asarray(outB[b]), np.asarray(solo))
+
+
+def test_language_forward_streaming_decode_int8_matches_jnp():
+    """Full decode step (T=1, extra delta) through the raw-arena kernel ==
+    the jnp path, int8 and unquantized arenas."""
+    import dataclasses
+
+    from streaming_vlm_tpu.config import qwen25_vl_tiny
+    from streaming_vlm_tpu.models.qwen25_vl import language
+    from streaming_vlm_tpu.ops.quant import quantize_kv
+
+    cfg = qwen25_vl_tiny()
+    tcfg = dataclasses.replace(
+        cfg.text, head_dim=64, mrope_section=(8, 12, 12), num_hidden_layers=2
+    )
+    rng = np.random.default_rng(0)
+    params = language.init_language_params(tcfg, jax.random.PRNGKey(0), jnp.float32)
+    p = {"layers": params["layers"], "final_ln": params["final_ln"]}
+    C, E = 512, 24
+    Hkv, hd = tcfg.num_key_value_heads, 64
+    emb = jnp.asarray(rng.normal(size=(1, tcfg.hidden_size)) * 0.1, jnp.float32)
+    qpos = jnp.asarray(np.broadcast_to(np.float32(700.0), (3, 1)))
+    apos = jnp.asarray(np.broadcast_to(np.arange(C, dtype=np.float32), (3, C)))
+    ka = jnp.asarray(rng.normal(size=(tcfg.num_hidden_layers, C, Hkv, hd)) * 0.1, jnp.float32)
+    va = jnp.asarray(rng.normal(size=(tcfg.num_hidden_layers, C, Hkv, hd)) * 0.1, jnp.float32)
+    ekr = jnp.asarray(rng.normal(size=(tcfg.num_hidden_layers, E, Hkv, hd)) * 0.1, jnp.float32)
+    ev = jnp.asarray(rng.normal(size=(tcfg.num_hidden_layers, E, Hkv, hd)) * 0.1, jnp.float32)
+    vis = jnp.asarray(300, jnp.int32)
+    evis = jnp.asarray(7, jnp.int32)
+
+    for quant in (False, True):
+        kk, vv = (quantize_kv(ka), quantize_kv(va)) if quant else (ka, va)
+        outs = {}
+        for q8 in (False, True):
+            outs[q8] = language.language_forward_streaming(
+                tcfg, p, emb, qpos, arena=(kk, vv), arena_positions=apos,
+                visible_len=vis, extra=(ekr, ev), extra_rotated=True,
+                extra_visible=evis, use_decode_int8=q8,
+            )
+        h0, h1 = outs[False][0], outs[True][0]
+        scale = float(jnp.max(jnp.abs(h0)))
+        assert float(jnp.max(jnp.abs(h1 - h0))) < 1e-3 * scale
+        # the new block's K/V don't go through the kernel on layer 0 —
+        # differences are pure propagation, bounded tight
+        np.testing.assert_allclose(
+            np.asarray(outs[True][1][0]), np.asarray(outs[False][1][0]),
+            atol=5e-5, rtol=1e-4,
+        )
+
+
+def test_engine_decode_int8_kernel_greedy_matches_jnp():
+    """Greedy streaming with the raw-arena decode kernel (prerotate=False,
+    int8 KV — the 7B B=8 serving configuration) == the jnp decode path:
+    identical generations across eviction rounds."""
+    from tests.test_kv_quant import CFG, N_VID_TOK, _run_engine, _stream_cfg
+    from streaming_vlm_tpu.models.qwen25_vl import model as model_mod
+
+    params = model_mod.init_params(CFG, jax.random.PRNGKey(11), dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    D = CFG.text.hidden_size
+    # the kv_quant vis_rounds fixture, synthesised inline (module fixtures
+    # don't cross files): rounds x lanes of [N_vid, D] embeds
+    vr = rng.normal(size=(6, 2, N_VID_TOK, D)).astype(np.float32) * 0.1
+
+    n = 4
+    base = dict(kv_quant="int8", prerotate_arena=False)
+    g_jnp = _run_engine(
+        params, vr, _stream_cfg(**base, decode_int8_kernel=False), n
+    )
+    g_q8 = _run_engine(
+        params, vr, _stream_cfg(**base, decode_int8_kernel=True), n
+    )
+    for a, b in zip(g_jnp, g_q8):
+        np.testing.assert_array_equal(a, b)

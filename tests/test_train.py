@@ -419,3 +419,60 @@ def test_dataset_retry_escapes_multiplicative_cycle(annotation, tmp_path):
         StreamDataset.__getitem__(ds, 1)
     ds.getitem = orig
     assert sorted(tried) == list(range(7)), tried
+
+
+def test_chunked_attention_grad_equivalence():
+    """Block-recomputed (Rabe-Staats) attention must not change the loss or
+    gradients vs the naive [T, T]-logits path — only the memory/recompute
+    trade (the long-sequence training enabler, VERDICT r4 next #2). Also
+    composes with remat="full" (nested checkpoint)."""
+    from streaming_vlm_tpu.train.step import sft_loss
+
+    params = model.init_params(CFG, jax.random.PRNGKey(2), dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    B, T = 2, 64
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(5, 900, size=(B, T)), jnp.int32),
+        "labels": jnp.asarray(rng.integers(5, 900, size=(B, T)), jnp.int32),
+        "positions": jnp.broadcast_to(
+            jnp.arange(T, dtype=jnp.float32), (B, 3, T)
+        ),
+    }
+
+    def loss_of(attn_q_block, remat="none"):
+        def f(tp):
+            return sft_loss(
+                CFG, {**params, "text": tp}, batch, remat=remat,
+                attn_q_block=attn_q_block,
+            )[0]
+
+        return jax.value_and_grad(f)(params["text"])
+
+    l0, g0 = loss_of(0)
+    # q_block dividing T and NOT dividing it (exercises the pad path)
+    for qb, remat in ((16, "none"), (24, "none"), (16, "full")):
+        l1, g1 = loss_of(qb, remat)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_chunked_attention_forward_matches_naive():
+    """_gqa_attention_chunked == _gqa_attention on random data + ragged
+    mask (value-level check, independent of the loss plumbing)."""
+    from streaming_vlm_tpu.models.qwen25_vl.language import (
+        _gqa_attention, _gqa_attention_chunked,
+    )
+
+    rng = np.random.default_rng(3)
+    T, S, Hkv, G, hd = 80, 96, 2, 3, 32
+    q = jnp.asarray(rng.normal(size=(T, Hkv * G, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(S, Hkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(S, Hkv, hd)), jnp.float32)
+    mask = jnp.asarray(rng.random(size=(T, S)) < 0.6)
+    mask = mask.at[:, 0].set(True)  # no fully-masked rows
+    ref = _gqa_attention(q, k, v, mask)
+    out = _gqa_attention_chunked(q, k, v, mask, q_block=32)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
