@@ -123,6 +123,42 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     return jax.device_put(params, shardings), shardings
 
 
+def shard_opt_state(optimizer, params: Any, param_shardings: Any, mesh: Mesh):
+    """Initialise optimizer state DIRECTLY onto the params' shards.
+
+    The TPU equivalent of the reference's ZeRO-3 optimizer partitioning
+    (scripts/zero3.json:16-27): AdamW's mu/nu moments are param-shaped, so
+    they inherit the exact FSDP/TP sharding of their parameter — no device
+    ever holds a replicated copy (AdamW state for 3B alone exceeds a 16 GB
+    chip, BENCH_TRAIN_r04.json). Works for any optax state built from
+    NamedTuples/tuples/dicts: every sub-pytree structurally identical to
+    `params` gets `param_shardings`; every other leaf (step counts, schedule
+    scalars) is replicated. The init runs under jit with out_shardings, so
+    the moments are CREATED sharded rather than materialised then moved."""
+    ptree = jax.tree_util.tree_structure(params)
+    repl = NamedSharding(mesh, P())
+
+    def build(node):
+        try:
+            if jax.tree_util.tree_structure(node) == ptree:
+                return param_shardings
+        except Exception:
+            pass
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+            return type(node)(*(build(x) for x in node))
+        if isinstance(node, tuple):
+            return tuple(build(x) for x in node)
+        if isinstance(node, list):
+            return [build(x) for x in node]
+        if isinstance(node, dict):
+            return {k: build(v) for k, v in node.items()}
+        return repl
+
+    shapes = jax.eval_shape(optimizer.init, params)
+    shardings = build(shapes)
+    return jax.jit(optimizer.init, out_shardings=shardings)(params)
+
+
 def serving_rules(rules: Sequence[Tuple[str, P]]) -> Tuple[Tuple[str, P], ...]:
     """TP-only variants of the sharding rules for the SERVING mesh: the
     'data' axis is reserved for lanes (DP over concurrent streams), so

@@ -29,6 +29,21 @@ S4. On CPU the flash attention kernel does not exist, so decoder layers are
     (language_forward.py:160-175) — and the ViT keeps stock HF sdpa forwards
     (the reference's ViT patch only re-plumbs flash-attn varlen; it has no
     streaming semantics).
+S7. The reference's qwen2 (non-2.5) attention has NO eager variant — its
+    only path calls `_flash_attention_forward`
+    (qwen2/language_forward.py:66-160). `cpu_flash_attention_forward` is a
+    numerics-faithful CPU stand-in (f32-softmax masked matmul applying the
+    4D additive mask when given one, else bottom-right-aligned causal — the
+    semantics flash-attn has with a KV cache); it is injected into the
+    reference qwen2 module's global only (`install_qwen2_cpu_flash`), so the
+    qwen2_5 tests keep their eager binding untouched.
+S8. The reference's qwen2 patcher never binds `_update_causal_mask`
+    (qwen2_5/patch_model.py:27 does; qwen2/patch_model.py does not) — it
+    relies on the transformers-4.51 method that 4.57's masking refactor
+    removed. `bind_qwen2_causal_mask` restores it using the REFERENCE'S OWN
+    `_update_causal_mask` from qwen2_5/language_forward.py:308 (byte-for-
+    byte the 4.51-era logic it expected to find), with S6's never-ignore
+    applying as for qwen2_5.
 """
 
 from __future__ import annotations
@@ -153,6 +168,80 @@ def install_reference():
     if REF_SRC not in sys.path:
         sys.path.insert(0, REF_SRC)
     _installed = True
+
+
+def cpu_flash_attention_forward(
+    query_states,
+    key_states,
+    value_states,
+    attention_mask,
+    query_length,
+    dropout=0.0,
+    sliding_window=None,
+    is_causal=True,
+    use_top_left_mask=False,
+    **kwargs,
+):
+    """S7: CPU emulation of flash-attn with the reference qwen2 path's
+    calling convention — q/k/v arrive [b, T, H, hd] (seq-first), GQA heads
+    already repeated. Returns [b, q_len, H, hd]."""
+    import math
+
+    import torch
+
+    q = query_states.transpose(1, 2)  # [b, H, q, hd]
+    k = key_states.transpose(1, 2)
+    v = value_states.transpose(1, 2)
+    L = k.shape[2]
+    scores = (q.float() @ k.float().transpose(-1, -2)) / math.sqrt(q.shape[-1])
+    if attention_mask is not None and attention_mask.dim() == 4:
+        # eager-style additive mask: already encodes causality + padding
+        scores = scores + attention_mask[:, :, :, :L].float()
+    elif is_causal and query_length > 1:
+        # flash semantics with a cache: bottom-right-aligned causal
+        col = torch.arange(L)
+        row = torch.arange(query_length)
+        keep = col[None, :] <= (row[:, None] + (L - query_length))
+        scores = scores.masked_fill(~keep, torch.finfo(scores.dtype).min)
+    p = torch.softmax(scores, dim=-1).to(v.dtype)
+    out = p @ v  # [b, H, q, hd]
+    return out.transpose(1, 2)
+
+
+def install_qwen2_cpu_flash():
+    """Point the reference qwen2 module's `_flash_attention_forward` global
+    at the CPU emulation (module-local; S7)."""
+    install_reference()
+    import streaming_vlm.inference.qwen2.language_forward as qlf
+
+    qlf._flash_attention_forward = cpu_flash_attention_forward
+
+
+def install_qwen25_cpu_flash():
+    """Same S7 injection for the qwen2_5 module — used by the append-mode
+    differential, where the reference's own mask slicing
+    (model_forward.py:130-132) is only consistent with its FLASH text path
+    (_update_causal_mask returns None for flash; the eager fallback would
+    build a 4D mask from the sliced 2D mask and crash / mis-mask)."""
+    install_reference()
+    import streaming_vlm.inference.qwen2_5.language_forward as qlf25
+
+    qlf25._flash_attention_forward = cpu_flash_attention_forward
+
+
+def bind_qwen2_causal_mask(model):
+    """S8: restore the 4.51-era `_update_causal_mask` on the qwen2 language
+    model using the reference's own copy of it."""
+    from types import MethodType
+
+    from streaming_vlm.inference.qwen2_5.language_forward import (
+        _update_causal_mask,
+    )
+
+    lm = model.model.language_model
+    if not hasattr(lm, "_update_causal_mask"):
+        lm._update_causal_mask = MethodType(_update_causal_mask, lm)
+    return model
 
 
 class _CompatCacheMixin:

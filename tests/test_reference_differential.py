@@ -39,7 +39,9 @@ install_reference()
 
 import torch  # noqa: E402
 
-from streaming_vlm_tpu.config import SpecialTokens, qwen25_vl_tiny  # noqa: E402
+from streaming_vlm_tpu.config import (  # noqa: E402
+    SpecialTokens, qwen25_vl_tiny, qwen2_vl_tiny,
+)
 from streaming_vlm_tpu.streaming.protocol import FakeTokenizer, PromptBuilder  # noqa: E402
 
 TOK = SpecialTokens()  # REAL Qwen ids — required by the reference's TOKEN_IDS
@@ -52,10 +54,14 @@ PREV_TEXT = "hello prev"
 QUERY0 = "watch this"
 
 
-@pytest.fixture(scope="module")
-def hf_model():
+def _build_hf_qwen25(attn: str):
     """Tiny random HF Qwen2.5-VL with real token ids, converted to streaming
-    by the reference's own patcher (patch_model.py:18-38)."""
+    by the reference's own patcher (patch_model.py:18-38). attn='eager'
+    re-binds the reference's eager text attention (S4); attn='flash' keeps
+    the patcher's flash binding with the CPU flash emulation injected (S7) —
+    the combination the append-mode path requires (its sliced 2D mask,
+    model_forward.py:130-132, is only consistent with the flash branch of
+    _update_causal_mask)."""
     from types import MethodType
 
     from transformers import Qwen2_5_VLConfig
@@ -106,13 +112,30 @@ def hf_model():
 
     stock_visual_forward = type(model.model.visual).forward
     model = convert_qwen2_5_to_streaming(model)
-    # S4 (see _reference_compat): eager decoder attention + stock sdpa ViT
+    if attn == "eager":
+        # S4 (see _reference_compat): eager decoder attention
+        for layer in model.model.language_model.layers:
+            layer.self_attn.forward = MethodType(
+                streaming_text_eager_attn_forward, layer.self_attn
+            )
+    else:
+        from _reference_compat import install_qwen25_cpu_flash
+
+        install_qwen25_cpu_flash()
+        # only the TEXT config flips to flash (the ViT keeps stock sdpa;
+        # 4.57 propagating setters would otherwise flip it too)
+        model.config.text_config._attn_implementation = "flash_attention_2"
     for layer in model.model.language_model.layers:
-        layer.self_attn.forward = MethodType(
-            streaming_text_eager_attn_forward, layer.self_attn
-        )
-        if not hasattr(layer.self_attn, "rope_scaling"):
-            layer.self_attn.rope_scaling = model.config.text_config.rope_scaling
+        sa = layer.self_attn
+        if not hasattr(sa, "rope_scaling"):
+            sa.rope_scaling = model.config.text_config.rope_scaling
+        if not hasattr(sa, "_flash_attn_uses_top_left_mask"):
+            sa._flash_attn_uses_top_left_mask = False
+        if not hasattr(sa, "is_causal"):
+            sa.is_causal = True
+        if not hasattr(sa, "attention_dropout"):
+            sa.attention_dropout = 0.0
+    # stock sdpa ViT in both variants
     model.model.visual.forward = MethodType(stock_visual_forward, model.model.visual)
     for blk in model.model.visual.blocks:
         blk.forward = MethodType(type(blk).forward, blk)
@@ -120,6 +143,18 @@ def hf_model():
 
     patch_generation_compat(model)
     return model
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    return _build_hf_qwen25("eager")
+
+
+@pytest.fixture(scope="module")
+def hf_model_flash():
+    """Same weights (same seed), reference flash text path + CPU flash
+    emulation — the configuration the append-mode differential drives."""
+    return _build_hf_qwen25("flash")
 
 
 @pytest.fixture(scope="module")
@@ -163,7 +198,10 @@ class ReferenceStream:
     reference's own train/infer drift; this framework keeps serve == train,
     so the differential feeds both sides the training layout."""
 
-    def __init__(self, model, *, text_round, visual_round, sink, window, max_new):
+    def __init__(
+        self, model, *, text_round, visual_round, sink, window, max_new,
+        pos_mode="shrink", all_text=False,
+    ):
         from streaming_vlm.inference.streaming_args import StreamingArgs
 
         self.model = model
@@ -172,6 +210,7 @@ class ReferenceStream:
         self.sink = sink
         self.window = window
         self.max_new = max_new
+        self.all_text = all_text
         self.CompatCache = make_compat_streaming_cache_cls()
         # S3: round-0 cache replacement inside streaming_generate must build
         # the compat subclass
@@ -180,7 +219,7 @@ class ReferenceStream:
         sgq.StreamingCache = self.CompatCache
 
         self.ftok = FakeTokenizer(TOK)
-        self.streaming_args = StreamingArgs(pos_mode="shrink", all_text=False)
+        self.streaming_args = StreamingArgs(pos_mode=pos_mode, all_text=all_text)
         self.past_key_values = None
         self.prev_generated_ids = None
         self.full_history = []
@@ -325,9 +364,18 @@ class ReferenceStream:
 
     def positions(self):
         """The reference's own mRoPE indexer over the current surviving ids
-        (qwen2_5/pos_emb.py, bound by patch_model.py:37)."""
+        (qwen2_5/pos_emb.py, bound by patch_model.py:37); all_text uses its
+        1-D indexer (model_forward.py:6, the LiveCC compat path)."""
+        if self.all_text:
+            from streaming_vlm.inference.qwen2_5.model_forward import (
+                get_1d_rope_index,
+            )
+
+            rope = get_1d_rope_index
+        else:
+            rope = self.model.model.get_rope_index
         with torch.no_grad():
-            pos, _ = self.model.model.get_rope_index(
+            pos, _ = rope(
                 self.prev_generated_ids,
                 None,
                 self.streaming_args.video_grid_thw,
@@ -337,7 +385,10 @@ class ReferenceStream:
         return np.asarray(pos[:, 0, :], np.float64)
 
 
-def _make_engine(jax_params, *, text_round, visual_round, sink, window, max_new):
+def _make_engine(
+    jax_params, *, text_round, visual_round, sink, window, max_new,
+    pos_mode="shrink", all_text=False, cfg=CFG,
+):
     import jax.numpy as jnp
 
     from streaming_vlm_tpu.config import SamplingConfig, StreamConfig
@@ -352,9 +403,11 @@ def _make_engine(jax_params, *, text_round, visual_round, sink, window, max_new)
         max_tokens_per_chunk=max_new,
         kv_capacity=1024,
         prefill_buckets=(64, 128, 256),
+        pos_mode=pos_mode,
+        all_text=all_text,
     )
     sampling = SamplingConfig(do_sample=False, repetition_penalty=1.05)
-    return StreamingEngine(CFG, jax_params, stream, sampling, dtype=jnp.float32)
+    return StreamingEngine(cfg, jax_params, stream, sampling, dtype=jnp.float32)
 
 
 def _engine_chunk(engine, builder, i, pixels, question="", gt_ids=None):
@@ -397,6 +450,9 @@ def _drive_differential(
     max_new=8,
     questions=None,
     gt_at=None,
+    pos_mode="shrink",
+    all_text=False,
+    cfg=CFG,
 ):
     """Run both loops on identical inputs, asserting per-chunk equality."""
     ref = ReferenceStream(
@@ -406,6 +462,8 @@ def _drive_differential(
         sink=sink,
         window=window,
         max_new=max_new,
+        pos_mode=pos_mode,
+        all_text=all_text,
     )
     engine = _make_engine(
         jax_params,
@@ -414,6 +472,9 @@ def _drive_differential(
         sink=sink,
         window=window,
         max_new=max_new,
+        pos_mode=pos_mode,
+        all_text=all_text,
+        cfg=cfg,
     )
     builder = PromptBuilder(TOK, FakeTokenizer(TOK))
     assert builder.measure_biases() == (ref.start_bias, ref.end_bias)
@@ -458,14 +519,20 @@ def _drive_differential(
             f"KV occupancy diverged at chunk {i}: ref {ref_cache_len} "
             f"vs engine cached {engine.cached}"
         )
-        # positions: the reference's own get_rope_index vs the engine's
-        # descriptor-built positions over the same surviving ids
-        np.testing.assert_allclose(
-            engine._positions(),
-            ref.positions()[:, :cut],
-            atol=1e-6,
-            err_msg=f"positions diverged at chunk {i}",
-        )
+        # positions: the reference's own indexer vs the engine's
+        # descriptor-built positions over the same surviving ids. In append
+        # mode the reference's positions are forward-internal bookkeeping
+        # (last_cache_position offsets, model_forward.py:112-153) with no
+        # recomputable oracle over surviving ids — there, position semantics
+        # are pinned by the greedy-token equality above (a position shift
+        # would move logits).
+        if pos_mode == "shrink":
+            np.testing.assert_allclose(
+                engine._positions(),
+                ref.positions()[:, :cut],
+                atol=1e-6,
+                err_msg=f"positions diverged at chunk {i}",
+            )
     return engine, ref
 
 
@@ -508,6 +575,155 @@ def test_differential_gt_forcing(hf_model, jax_params):
     _drive_differential(
         hf_model, jax_params, n_chunks=5, text_round=2, visual_round=2,
         sink=6, window=5, gt_at=gt,
+    )
+
+
+def test_differential_append_mode(hf_model_flash, jax_params):
+    """pos_mode='append' (reference model_forward.py:112-153): positions
+    never re-index across evictions — new chunks continue from
+    last_cache_position+1, decode from rope_deltas offsets. Driven through
+    eviction so surviving ids keep their ORIGINAL (gappy) positions; greedy
+    equality pins the whole position bookkeeping (VERDICT r4 next #5).
+    Uses the reference's flash text path (hf_model_flash): append slices
+    the 2D mask to the input length (model_forward.py:130-132), which only
+    the flash branch of _update_causal_mask handles."""
+    _drive_differential(
+        hf_model_flash, jax_params, n_chunks=6, text_round=2, visual_round=2,
+        sink=4, window=3, pos_mode="append",
+    )
+
+
+def test_differential_append_mode_qa_injection(hf_model_flash, jax_params):
+    _drive_differential(
+        hf_model_flash, jax_params, n_chunks=5, text_round=2, visual_round=2,
+        sink=6, window=5, pos_mode="append",
+        questions={2: "what is happening?"},
+    )
+
+
+def test_differential_all_text(hf_model, jax_params):
+    """all_text=True (the LiveCC-compat 1-D RoPE mode, reference
+    inference.py:193 + get_1d_rope_index, model_forward.py:6): every token —
+    vision included — takes sequential 1-D positions on all three mRoPE
+    axes. Driven through eviction; positions asserted against the
+    reference's own 1-D indexer."""
+    _drive_differential(
+        hf_model, jax_params, n_chunks=6, text_round=2, visual_round=2,
+        sink=4, window=3, all_text=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Qwen2-VL (non-2.5) variant: the reference's qwen2/ patch set
+# ---------------------------------------------------------------------------
+
+CFG_Q2 = dataclasses.replace(qwen2_vl_tiny(vocab_size=151936), tokens=TOK)
+
+
+@pytest.fixture(scope="module")
+def hf_model_q2():
+    """Tiny random HF Qwen2-VL converted by the reference's own qwen2
+    patcher (qwen2/patch_model.py:18-34), with S7 (CPU flash emulation —
+    qwen2 has no eager attention variant) and S8 (restore the 4.51-era
+    _update_causal_mask the patcher relies on)."""
+    from types import MethodType
+
+    from _reference_compat import bind_qwen2_causal_mask, install_qwen2_cpu_flash
+
+    from transformers import Qwen2VLConfig
+    from transformers.models.qwen2_vl.modeling_qwen2_vl import (
+        Qwen2VLForConditionalGeneration,
+    )
+
+    install_qwen2_cpu_flash()
+    from streaming_vlm.inference.qwen2.patch_model import convert_qwen2_to_streaming
+
+    t, v = CFG_Q2.text, CFG_Q2.vision
+    hf_cfg = Qwen2VLConfig(
+        vocab_size=t.vocab_size,
+        hidden_size=t.hidden_size,
+        intermediate_size=t.intermediate_size,
+        num_hidden_layers=t.num_hidden_layers,
+        num_attention_heads=t.num_attention_heads,
+        num_key_value_heads=t.num_key_value_heads,
+        rms_norm_eps=t.rms_norm_eps,
+        rope_theta=t.rope_theta,
+        tie_word_embeddings=t.tie_word_embeddings,
+        vision_config=dict(
+            depth=v.depth,
+            embed_dim=v.hidden_size,
+            mlp_ratio=v.intermediate_size / v.hidden_size,
+            num_heads=v.num_heads,
+            in_channels=v.in_channels,
+            patch_size=v.patch_size,
+            temporal_patch_size=v.temporal_patch_size,
+            spatial_merge_size=v.spatial_merge_size,
+            hidden_size=v.out_hidden_size,
+        ),
+        rope_scaling=dict(type="mrope", mrope_section=list(t.mrope_section)),
+        attn_implementation="eager",
+    )
+    hf_cfg.image_token_id = TOK.image_pad
+    hf_cfg.video_token_id = TOK.video_pad
+    hf_cfg.vision_start_token_id = TOK.vision_start
+
+    torch.manual_seed(7)
+    model = Qwen2VLForConditionalGeneration(hf_cfg).eval().float()
+
+    stock_visual_forward = type(model.model.visual).forward
+    model = convert_qwen2_to_streaming(model)
+    bind_qwen2_causal_mask(model)
+    # S4: stock sdpa ViT (the reference's ViT patch only re-plumbs
+    # flash-attn varlen — no streaming semantics)
+    model.model.visual.forward = MethodType(stock_visual_forward, model.model.visual)
+    for blk in model.model.visual.blocks:
+        blk.forward = MethodType(type(blk).forward, blk)
+        blk.attn.forward = MethodType(type(blk.attn).forward, blk.attn)
+    # attribute surface the reference's qwen2 attention reads that 4.57
+    # modules no longer carry
+    for layer in model.model.language_model.layers:
+        sa = layer.self_attn
+        if not hasattr(sa, "rope_scaling"):
+            sa.rope_scaling = model.config.text_config.rope_scaling
+        if not hasattr(sa, "_flash_attn_uses_top_left_mask"):
+            sa._flash_attn_uses_top_left_mask = False
+        if not hasattr(sa, "is_causal"):
+            sa.is_causal = True
+        if not hasattr(sa, "attention_dropout"):
+            sa.attention_dropout = 0.0
+
+    patch_generation_compat(model)
+    return model
+
+
+@pytest.fixture(scope="module")
+def jax_params_q2(hf_model_q2):
+    import jax.numpy as jnp
+
+    from streaming_vlm_tpu.models.convert import params_from_state_dict
+
+    return params_from_state_dict(CFG_Q2, hf_model_q2.state_dict(), dtype=jnp.float32)
+
+
+def test_differential_qwen2_eviction(hf_model_q2, jax_params_q2):
+    """The whole streaming differential against the reference's qwen2 patch
+    set (qwen2/patch_model.py:18): relocation + prune + sink/window cut,
+    per-chunk greedy tokens / surviving ids / occupancy / positions equal.
+    Qwen2-VL's temporal index is the raw grid step (qwen2/pos_emb.py:119 —
+    no second_per_grid scaling), which our qwen2 config realises via
+    tokens_per_second=1."""
+    _drive_differential(
+        hf_model_q2, jax_params_q2, n_chunks=5, text_round=2, visual_round=2,
+        sink=4, window=3, cfg=CFG_Q2,
+    )
+
+
+def test_differential_qwen2_qa_and_gt(hf_model_q2, jax_params_q2):
+    """qwen2 variant under mid-stream qa injection + GT teacher forcing."""
+    _drive_differential(
+        hf_model_q2, jax_params_q2, n_chunks=5, text_round=2, visual_round=3,
+        sink=6, window=5, cfg=CFG_Q2,
+        questions={1: "describe"}, gt_at={2: [30, 31, 30]},
     )
 
 

@@ -476,3 +476,65 @@ def test_chunked_attention_forward_matches_naive():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
     )
+
+
+def test_fsdp_sharded_adamw_end_to_end_loss_decreases():
+    """Full fwd+bwd+AdamW-update loop with ZeRO-style SHARDED optimizer
+    state (VERDICT r4 next #4): moments are created on their params' shards
+    (shard_opt_state), stay sharded across updates, and the loss decreases
+    over repeated steps on one batch — the reference's ZeRO-3 training
+    contract (scripts/zero3.json:16-27) on the virtual mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from streaming_vlm_tpu.parallel.mesh import (
+        make_mesh, shard_opt_state, shard_params,
+    )
+    from streaming_vlm_tpu.train.step import make_optimizer, make_train_step
+
+    params = model.init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+    mesh = make_mesh({"data": 2, "model": 4})
+    p, shardings = shard_params(params, mesh)
+    optimizer = make_optimizer(learning_rate=1e-3)
+    opt_state = shard_opt_state(optimizer, p["text"], shardings["text"], mesh)
+
+    def find_mu(state):
+        if hasattr(state, "mu"):
+            return state.mu
+        if isinstance(state, (tuple, list)):
+            for s in state:
+                r = find_mu(s)
+                if r is not None:
+                    return r
+        return None
+
+    mu = find_mu(opt_state)
+    for key in ("q_w", "gate_w", "down_w"):
+        assert mu["layers"][key].sharding == p["text"]["layers"][key].sharding
+        assert not mu["layers"][key].sharding.is_fully_replicated
+
+    rng = np.random.default_rng(0)
+    B, T = 4, 64
+    batch = jax.device_put(
+        {
+            "input_ids": rng.integers(5, 900, size=(B, T)).astype(np.int32),
+            "labels": rng.integers(5, 900, size=(B, T)).astype(np.int32),
+            "positions": np.broadcast_to(
+                np.arange(T, dtype=np.float32), (B, 3, T)
+            ).copy(),
+        },
+        {
+            "input_ids": NamedSharding(mesh, P("data", None)),
+            "labels": NamedSharding(mesh, P("data", None)),
+            "positions": NamedSharding(mesh, P("data", None, None)),
+        },
+    )
+    step = jax.jit(make_train_step(CFG, optimizer), donate_argnums=(0, 1))
+    losses = []
+    for _ in range(4):
+        p, opt_state, metrics = step(p, opt_state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses)), losses
+    # step 1 is the lr-warmup zero step; from step 2 on the loss must fall
+    assert losses[-1] < losses[1] and losses[-1] < losses[0], losses
+    mu2 = find_mu(opt_state)
+    assert mu2["layers"]["q_w"].sharding == p["text"]["layers"]["q_w"].sharding
