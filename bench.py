@@ -81,13 +81,19 @@ def round_stats(times, steady_start, *, phases=None):
     max_over = float(np.max(times) / med_ex)
     max_over_ex = float(np.max(ok_times) / med_ex) if ok_times else float("inf")
     p99_ex = float(np.percentile(ok_times, 99)) if ok_times else float("inf")
-    gate_ok = max_over_ex <= 1.3 and len(faults) <= max(1, n // 10)
+    # Round 0 is NOT excludable as a fault (VERDICT r4 weak #1: a 15 s
+    # round 0 at B=12 hid behind fault exclusion while the gate said pass —
+    # a live client drops that video). After the warm round, round 0 has no
+    # legitimate first-execution excuse: > FAULT_K x p50 fails the gate.
+    round0_ok = times[0] <= max(FAULT_K * med_ex, med_ex + 1.0)
+    gate_ok = max_over_ex <= 1.3 and len(faults) <= max(1, n // 10) and round0_ok
     checks = {
         "round_ms_p50": round(med_ex * 1e3, 1),
         "round_ms_p99": round(p99_ex * 1e3, 1),
         # RAW max over the fault-excluded median: a stall can NOT hide here
         "max_over_p50": round(max_over, 3),
         "max_over_p50_excl_faults": round(max_over_ex, 3),
+        "round0_over_p50": round(float(times[0] / med_ex), 3),
         "n_faults": len(faults),
         "glitch_gate": "pass" if gate_ok else "fail",
     }
@@ -462,6 +468,39 @@ def run_multistream(args):
     end_bias = 2
     queries = [f"Commentate on match feed {b}" for b in range(B)]
     n_rounds = args.chunks
+
+    # WARM ROUND (VERDICT r4 weak #1): prewarm compiles AND executes every
+    # executable, but the first REAL round still pays first-transport /
+    # first-fetch costs the tunnel sometimes stretches into seconds. Run
+    # one throwaway round-0-shaped round through every lane, then hand the
+    # lanes back via reset_lane (the tested new-client path) — exactly what
+    # a serving deployment does before attaching clients. Round 0 of the
+    # measured stream is then gate-checked WITHOUT fault exclusion.
+    t_warm = time.perf_counter()
+    warm_builders = [PromptBuilder(tok, FakeTokenizer(tok)) for _ in range(B)]
+    warm_segs = []
+    for b in range(B):
+        segs = [warm_builders[b].system_segment()]
+        segs.extend(warm_builders[b].previous_text_segments("live stream"))
+        segs.extend(
+            warm_builders[b].user_turn_segments(
+                0, 0.0, chunk_duration, n_vid_tokens, grid, 2.0 / fps,
+                query=queries[b],
+            )
+        )
+        segs.extend(warm_builders[b].assistant_open_segments(0))
+        warm_segs.append(segs)
+    ve = ms.encode_round(synth_patches(jax.random.PRNGKey(999)), grid)
+    warm_handles = ms.process_round_async(warm_segs, vis_embeds=ve, grid_thw=grid)
+    ms.finish_round(warm_handles)
+    for b in range(B):
+        ms.reset_lane(b)
+    print(
+        f"[warm round] {time.perf_counter() - t_warm:.1f} s "
+        f"(throwaway round 0 + lane resets)",
+        file=sys.stderr, flush=True,
+    )
+
     times = []
     phase_log = []
     ve = ms.encode_round(synth_patches(jax.random.PRNGKey(1000)), grid)
