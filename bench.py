@@ -289,6 +289,31 @@ def run_stream(args):
         file=sys.stderr,
         flush=True,
     )
+    # WARM CHUNK (VERDICT r4 weak #1): prewarm compiles AND executes every
+    # executable, but the first REAL chunk still pays first-fetch/transport
+    # costs (measured 10x p50 on 2026-08-20, stage finish). Run one
+    # throwaway round-0-shaped chunk, then rebuild the engine — the
+    # executables stay cached, the timed stream starts from clean state,
+    # and round 0 is gate-checked WITHOUT fault exclusion (round_stats).
+    t_warm = time.perf_counter()
+    wb = PromptBuilder(tok, FakeTokenizer(tok))
+    wsegs = [wb.system_segment()]
+    wsegs += wb.previous_text_segments("live stream")
+    wsegs += wb.user_turn_segments(
+        0, 0.0, chunk_duration, n_vid_tokens, grid, 2.0 / fps,
+        query="Commentate on this match",
+    )
+    wsegs += wb.assistant_open_segments(0)
+    wh = engine.process_chunk_async(wsegs, vis_embeds=vis_embeds, grid_thw=grid)
+    engine.finish_chunk(wh)
+    engine = StreamingEngine(
+        cfg, params, stream, sampling, dtype=jnp.bfloat16, mesh=mesh
+    )
+    print(
+        f"[warm chunk] {time.perf_counter() - t_warm:.1f} s "
+        f"(throwaway chunk 0 + engine rebuild)",
+        file=sys.stderr, flush=True,
+    )
     # SVT_TRACE_DIR: capture the measured chunk loop as a jax.profiler
     # trace (post-prewarm, so the XPlane shows steady-state dispatch, not
     # compiles). Works on CPU and over the axon tunnel (host-side events).
