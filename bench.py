@@ -165,11 +165,13 @@ def run_stream(args):
             for b in os.environ.get("SVT_BENCH_BUCKETS", "640,1024").split(",")
         ),
         # int8 KV arena is the BENCH default (library default stays "none"):
-        # halves persistent-arena HBM traffic and measured 1.26x single-
-        # stream via ABBA A/B (BENCH_AB_KVQUANT_r03.json); consistent with
-        # the int8 W8A8 weights the serving path already defaults to.
+        # halves the persistent arena — the CAPACITY lever that fits the
+        # multi-stream lane counts. Speed-neutral single-stream: the r3
+        # 1.26x single-block reading was drift; the multi-block re-measure
+        # is bf16/int8 = 1.01 ci95 [0.81, 1.22] (BENCH_AB_KVQUANT_r05).
         # SVT_KV_QUANT=none reverts (A/B lever).
         kv_quant=os.environ.get("SVT_KV_QUANT", "int8"),
+        rot_quant=os.environ.get("SVT_ROT_QUANT", "none"),
     )
     sampling = SamplingConfig(temperature=0.9, repetition_penalty=1.05, do_sample=True)
 
@@ -435,6 +437,9 @@ def run_multistream(args):
         # each lane's persistent arena — at 7B this is what turns the B=6
         # prerotate OOM into a fit (docs/MULTISTREAM.md)
         kv_quant=os.environ.get("SVT_KV_QUANT", "int8"),
+        # SVT_ROT_QUANT=int8: requantized rotated copy — prerotate fast
+        # path at raw-mode HBM cost (the 7B B=8 lever)
+        rot_quant=os.environ.get("SVT_ROT_QUANT", "none"),
     )
     sampling = SamplingConfig(temperature=0.9, repetition_penalty=1.05, do_sample=True)
 

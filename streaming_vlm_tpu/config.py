@@ -277,6 +277,16 @@ class StreamConfig:
     # True/False force it per engine (distinct jit cache entries — env
     # flips alone would hit a stale trace).
     decode_int8_kernel: Optional[bool] = None
+    # Storage of the per-chunk ROTATED K copy when prerotate is on: "none"
+    # (engine dtype, exact) or "int8" (requantize the rotated copy —
+    # per-(slot, head) absmax like kv_quant). int8 makes the prerotate fast
+    # path fit where only raw mode did (7B B=8: raw int8 arena + a bf16
+    # rotated copy OOMs a 16 GB chip; a rotated INT8 copy costs the same
+    # as the raw arena) while decode keeps reading through the fused XLA
+    # dequant path. Error is bounded, not accumulating: the persistent raw
+    # arena stays exact and the rotated copy is re-derived every chunk
+    # (one extra K quantization visible to attention).
+    rot_quant: str = "none"
 
     @property
     def effective_prerotate(self) -> bool:

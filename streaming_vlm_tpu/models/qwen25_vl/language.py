@@ -543,14 +543,25 @@ def language_forward_streaming(
             and C % 1024 == 0
         )
         # int8-native raw-arena decode kernel (dequant + mRoPE rotation
-        # IN-KERNEL from per-slot positions): default ON for the
-        # prerotate=False decode path, where the jnp route re-materialises a
-        # dequantized+rotated bf16 arena copy EVERY step (3-4x necessary
-        # HBM traffic — PROFILE_7B_B8_r04, the 7B B=8 realtime blocker).
-        # SVT_USE_PALLAS_DECODE_INT8=0 disables; =force enables off-TPU
-        # (interpret mode — CPU equivalence tests).
-        q8_env = os.environ.get("SVT_USE_PALLAS_DECODE_INT8", "1")
-        q8_cb = int(os.environ.get("SVT_DECODE_INT8_CB", "1024"))
+        # IN-KERNEL from per-slot positions). MEASURED NEGATIVE at 7B B=8
+        # (BENCH_AB_DECODE_INT8_r05: 0.711x, ci95 +-0.003): the in-kernel
+        # int8->float convert is VPU-throughput-bound (~217 GB/s — r2's
+        # weight-only precedent) and cos/sin recompute per (layer, lane,
+        # tile) is 36x redundant, while XLA's fused path pays the convert
+        # once per big pass. Default OFF; =1 opt-in on TPU, =force off-TPU
+        # (interpret mode — CPU equivalence tests). The production answer
+        # to the prerotate-OOM problem is rot_quant="int8" (engine).
+        q8_env = os.environ.get("SVT_USE_PALLAS_DECODE_INT8", "0")
+        q8_cb_env = os.environ.get("SVT_DECODE_INT8_CB")
+        if q8_cb_env:
+            q8_cb = int(q8_cb_env)
+        else:
+            # VMEM-fit default: the kernel's in-flight tile footprint scales
+            # with c_b * Hkv * hd (int8 K/V tiles + f32 dequant/rotate
+            # transients). c_b=1024 fits the 3B geometry (Hkv*hd=256);
+            # the 7B geometry (Hkv*hd=512) measured 22 MB > the 16 MB
+            # scoped-vmem limit at 1024 — use 512 there.
+            q8_cb = 1024 if cfg.num_key_value_heads * cfg.head_dim <= 256 else 512
         if C % q8_cb:
             q8_cb = 512
         if use_decode_int8 is None:

@@ -178,6 +178,9 @@ class ChunkStatics:
     # raw-arena decode kernel (dequant + mRoPE in-kernel): None = auto
     # (env SVT_USE_PALLAS_DECODE_INT8), True/False force per engine
     decode_q8: Optional[bool] = None
+    # "int8": store the per-chunk rotated K copy requantized (see
+    # StreamConfig.rot_quant)
+    rot_quant: str = "none"
 
     # NOTE: the frozen-dataclass __hash__ hashes cfg by VALUE (ModelConfig is a
     # frozen dataclass tree), matching __eq__ — two value-equal statics built
@@ -302,6 +305,15 @@ def _chunk_step_impl(
         # pass (read int8+scales, write the chunk's bf16 rotated copy)
         k_full = dequantize_kv(k_arena, adt) if kv_quantized else k_arena
         k_rot = apply_rope(k_full, a_cos[:, None, :], a_sin[:, None, :])
+        if statics.rot_quant == "int8":
+            # store the rotated copy REQUANTIZED: same HBM as the raw int8
+            # arena, so the prerotate fast path fits where only raw mode
+            # did (7B B=8 — BENCH_AB_DECODE_INT8_r05 killed the in-kernel
+            # alternative); decode reads it through the fused per-layer
+            # dequant (_deq_layer), the path already measured near its
+            # convert-bound rate. One extra K quantization, re-derived
+            # fresh each chunk (no error accumulation).
+            k_rot = quantize_kv(k_rot)
 
     # write the chunk's token ids, then build the repetition-penalty presence
     # mask fully on device (no host-side vocab bitmask upload)
@@ -346,9 +358,9 @@ def _chunk_step_impl(
     )
     k_arena = _merge_block(k_arena, k_block, insert_at)
     if statics.prerotate:
-        k_rot = jax.lax.dynamic_update_slice(
-            k_rot, k_block_rot.astype(adt), (0, insert_at, 0, 0)
-        )
+        # _merge_block writes in the rotated copy's own representation
+        # (requantizing the block when rot_quant="int8")
+        k_rot = _merge_block(k_rot, k_block_rot.astype(adt), insert_at)
     v_arena = _merge_block(v_arena, v_block, insert_at)
     last_hidden = jax.lax.dynamic_slice(hidden, (n_real - 1, 0), (1, hidden.shape[1]))
     logits0 = language.lm_logits(tcfg, params["text"], last_hidden)[0]
@@ -536,8 +548,14 @@ class StreamingEngine:
             arena = 2 * int(kv_elems * (1 + 4.0 / t.head_dim))
         else:
             arena = 2 * kv_elems * item
-        # the per-chunk rotated-K copy stays in the engine dtype either way
-        rot = kv_elems * item if self.stream.effective_prerotate else 0
+        # the per-chunk rotated-K copy: engine dtype, or int8 + scales when
+        # rot_quant="int8" (what makes prerotate fit at 7B B=8)
+        if not self.stream.effective_prerotate:
+            rot = 0
+        elif self.stream.rot_quant == "int8":
+            rot = int(kv_elems * (1 + 4.0 / t.head_dim))
+        else:
+            rot = kv_elems * item
         par = sum(
             x.size * jnp.dtype(x.dtype).itemsize
             for x in jax.tree_util.tree_leaves(self.params)
@@ -768,6 +786,7 @@ class StreamingEngine:
                         use_descriptors=(st.pos_mode == "shrink"),
                         prerotate=st.effective_prerotate,
                         decode_q8=st.decode_int8_kernel,
+                        rot_quant=st.rot_quant,
                     )
                     ve = None if n_vis is None else jnp.zeros((n_vis, D), self.dtype)
                     vs = (
@@ -940,6 +959,7 @@ class StreamingEngine:
             use_descriptors=(st.pos_mode == "shrink"),
             prerotate=st.effective_prerotate,
             decode_q8=st.decode_int8_kernel,
+            rot_quant=st.rot_quant,
         )
         self.k_arena, self.v_arena, self.ids_arena, gen, n_gen, self.rng = chunk_step(
             statics,

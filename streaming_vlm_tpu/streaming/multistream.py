@@ -557,6 +557,7 @@ class MultiStreamEngine:
             use_descriptors=(st.pos_mode == "shrink"),
             prerotate=st.effective_prerotate,
             decode_q8=st.decode_int8_kernel,
+            rot_quant=st.rot_quant,
         )
         insert_at = np.asarray([e.cached for e in self.engines], np.int32)
         n_real = np.asarray([p["n_real"] for p in preps], np.int32)
@@ -866,6 +867,7 @@ class MultiStreamEngine:
                         use_descriptors=(st.pos_mode == "shrink"),
                         prerotate=st.effective_prerotate,
                         decode_q8=st.decode_int8_kernel,
+                        rot_quant=st.rot_quant,
                     )
                     ve = (
                         None

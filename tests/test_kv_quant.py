@@ -237,3 +237,55 @@ def test_hbm_budget_accounts_int8(params):
         )
     finally:
         del os.environ["SVT_HBM_BYTES"]
+
+
+def test_engine_rot_quant_int8_streams_protocol_valid(params, vis_rounds):
+    """rot_quant="int8" (requantized per-chunk rotated K copy — the 7B B=8
+    HBM lever after BENCH_AB_DECODE_INT8_r05 killed the in-kernel variant):
+    greedy streaming across evictions stays protocol-valid with all arena
+    invariants, on top of an int8 raw arena."""
+    n_rounds = 6
+    gens = _run_engine(
+        params, vis_rounds,
+        _stream_cfg(kv_quant="int8", rot_quant="int8"), n_rounds,
+    )
+    for g in gens:
+        assert len(g) >= 1 and g[-1] == TOK.im_end
+
+
+def test_rot_quant_forward_noise_bounded(params):
+    """Forward over a REQUANTIZED rotated arena == forward over its explicit
+    dequantization exactly (plumbing adds nothing), and stays within the
+    expected ~single-quantization noise of the exact rotated arena."""
+    from streaming_vlm_tpu.models.qwen25_vl.rope import (
+        apply_rope, make_inv_freq, mrope_cos_sin,
+    )
+
+    tcfg = CFG.text
+    L, Hkv, hd = tcfg.num_hidden_layers, tcfg.num_key_value_heads, tcfg.head_dim
+    C, T = 64, 8
+    rng = np.random.default_rng(7)
+    k = jnp.asarray(rng.normal(size=(L, C, Hkv, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(L, C, Hkv, hd)).astype(np.float32))
+    apos = jnp.broadcast_to(jnp.arange(C, dtype=jnp.float32), (3, C))
+    inv_freq = jnp.asarray(make_inv_freq(hd, tcfg.rope_theta))
+    a_cos, a_sin = mrope_cos_sin(apos, inv_freq, tcfg.mrope_section)
+    k_rot = apply_rope(k, a_cos[:, None, :], a_sin[:, None, :])
+    k_rot_q = quantize_kv(k_rot)
+    embeds = jnp.asarray(rng.normal(size=(T, tcfg.hidden_size)).astype(np.float32) * 0.1)
+    qpos = jnp.broadcast_to(jnp.arange(32, 32 + T, dtype=jnp.float32), (3, T))
+
+    def fwd(arena_k):
+        h, _ = language.language_forward_streaming(
+            tcfg, params["text"], embeds, qpos,
+            arena=(arena_k, v), arena_rotated=True,
+            visible_len=jnp.asarray(32, jnp.int32),
+        )
+        return np.asarray(h)
+
+    h_q = fwd(k_rot_q)
+    h_deq = fwd(dequantize_kv(k_rot_q, jnp.float32))
+    np.testing.assert_allclose(h_q, h_deq, rtol=2e-5, atol=2e-6)
+    h_exact = fwd(k_rot)
+    rel = np.linalg.norm(h_q - h_exact) / np.linalg.norm(h_exact)
+    assert rel < 0.02, rel
