@@ -303,8 +303,6 @@ def _chunk_step_impl(
         a_cos, a_sin = mrope_cos_sin(slot_positions, inv_freq, tcfg.mrope_section)
         # int8 arena: the dequantize fuses into this one elementwise rotate
         # pass (read int8+scales, write the chunk's bf16 rotated copy)
-        k_full = dequantize_kv(k_arena, adt) if kv_quantized else k_arena
-        k_rot = apply_rope(k_full, a_cos[:, None, :], a_sin[:, None, :])
         if statics.rot_quant == "int8":
             # store the rotated copy REQUANTIZED: same HBM as the raw int8
             # arena, so the prerotate fast path fits where only raw mode
@@ -312,8 +310,20 @@ def _chunk_step_impl(
             # alternative); decode reads it through the fused per-layer
             # dequant (_deq_layer), the path already measured near its
             # convert-bound rate. One extra K quantization, re-derived
-            # fresh each chunk (no error accumulation).
-            k_rot = quantize_kv(k_rot)
+            # fresh each chunk (no error accumulation). The rotate runs as
+            # a lax.map over LAYERS so the bf16 dequant+rotate transient is
+            # one [C, Hkv, hd] layer, never a full-arena bf16 copy (a
+            # whole-arena form measured 17.9 GB peak at 7B B=8 — the 5.6 GB
+            # bf16 transient blew the chip).
+            def rot_layer(lk):
+                kf = dequantize_kv(lk, adt) if kv_quantized else lk
+                kr = apply_rope(kf, a_cos[:, None, :], a_sin[:, None, :])
+                return quantize_kv(kr)
+
+            k_rot = jax.lax.map(rot_layer, k_arena)
+        else:
+            k_full = dequantize_kv(k_arena, adt) if kv_quantized else k_arena
+            k_rot = apply_rope(k_full, a_cos[:, None, :], a_sin[:, None, :])
 
     # write the chunk's token ids, then build the repetition-penalty presence
     # mask fully on device (no host-side vocab bitmask upload)
